@@ -1,0 +1,115 @@
+"""Streaming scan + top-k.
+
+Reference parity: the edge FLAT scan with bounded top-K heaps —
+``edge/f16_vectorstore.go:131-187`` (per-shard goroutines each with a local
+PQ, then merge) and ``edge/priority_queue.go:33-75``.
+
+TPU-native design: the goroutine-shard map-reduce becomes a two-stage
+top-k. The row axis is processed in fixed-size blocks under ``lax.map``
+(bounding the [Q, N] score materialization to [Q, block]); each block
+produces its local top-k on the MXU scan output, and a final ``lax.top_k``
+merges the [Q, blocks*k] partials. Exactly the reference's
+local-heap-then-merge shape, but each "shard" is an MXU-sized tile instead
+of a goroutine, and "merge" is one more top-k instead of a heap drain.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from coltt_tpu.ops.distance import Metric, scan_distances
+from coltt_tpu.ops.score import normalize_score
+
+# Default rows per block: keeps [Q, block] f32 scores + the [block, D] code
+# tile comfortably inside VMEM-friendly working sets while saturating the MXU.
+DEFAULT_BLOCK_ROWS = 131_072
+
+
+def _block_count(n: int, block: int) -> int:
+    if n <= block or n % block != 0:
+        return 1
+    return n // block
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "metric", "compute_dtype", "block_rows"),
+)
+def scan_topk(
+    queries,
+    codes,
+    scale,
+    sqnorm,
+    valid,
+    *,
+    k: int,
+    metric: Metric = Metric.COSINE,
+    compute_dtype=jnp.bfloat16,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+):
+    """Top-k scan over the full store.
+
+    Returns ``(scores [Q, k], ids [Q, k])`` with scores on the 0-100 scale,
+    descending; tombstoned rows surface as -inf score (callers drop them).
+    """
+    metric = Metric.parse(metric)
+    queries = jnp.asarray(queries, jnp.float32)
+    n = codes.shape[0]
+    blocks = _block_count(n, block_rows)
+    kk = min(k, n)
+
+    # Rank on raw (negated) distance, not the 0-100 score: the euclidean
+    # score clips at 0 (max(0, 100-d)) which would tie all far rows. The
+    # reference likewise keeps distances in its heaps and normalizes per
+    # returned hit only (edge/edge.go:661-681).
+    if blocks == 1:
+        dist = scan_distances(
+            queries, codes, scale, sqnorm, valid,
+            metric=metric, compute_dtype=compute_dtype,
+        )
+        negd, idx = lax.top_k(-dist, kk)
+    else:
+        block = n // blocks
+        kb = min(kk, block)
+
+        def body(i):
+            sl = lambda a: lax.dynamic_slice_in_dim(a, i * block, block, axis=0)
+            dist = scan_distances(
+                queries,
+                sl(codes),
+                None if scale is None else sl(scale),
+                None if sqnorm is None else sl(sqnorm),
+                None if valid is None else sl(valid),
+                metric=metric,
+                compute_dtype=compute_dtype,
+            )
+            vals, idx = lax.top_k(-dist, kb)
+            return vals, (idx + i * block).astype(jnp.int32)
+
+        vals, ids = lax.map(body, jnp.arange(blocks))  # [blocks, Q, kb]
+        q = queries.shape[0]
+        vals = jnp.moveaxis(vals, 0, 1).reshape(q, blocks * kb)
+        ids = jnp.moveaxis(ids, 0, 1).reshape(q, blocks * kb)
+        negd, midx = lax.top_k(vals, kk)
+        idx = jnp.take_along_axis(ids, midx, axis=1)
+
+    score = jnp.where(jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric))
+    return score, idx.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def merge_topk(scores_a, ids_a, scores_b, ids_b, *, k: int):
+    """Merge two ``[Q, ka] / [Q, kb]`` top-k partials into one ``[Q, k]``.
+
+    The collective-merge building block for multi-device search (the role of
+    the reference's shard-PQ merge loop, edge/f16_vectorstore.go:160-170).
+    """
+    vals = jnp.concatenate([scores_a, scores_b], axis=1)
+    ids = jnp.concatenate([ids_a, ids_b], axis=1)
+    kk = min(k, vals.shape[1])
+    mvals, midx = lax.top_k(vals, kk)
+    return mvals, jnp.take_along_axis(ids, midx, axis=1)
