@@ -1,0 +1,376 @@
+"""FLAT quantized vector store with slot-based mutation.
+
+Reference parity: the four near-identical quantized vector spaces
+``edge/{none,f16,f8,bf16}_vectorstore.go`` (16-way sharded
+``map[uint64]ENode`` with upsert-resolves-primary-key, delete-via-filter,
+full-scan VertexSearch with optional per-shard goroutines, and
+FilterableVertexSearch over bitmap candidates) plus their binary
+SaveVertex/LoadVertex snapshots (f16_vectorstore.go:317-460).
+
+TPU-native design (SURVEY.md §7 phases 2-3): one store class parameterized
+by quantization dtype instead of four copies. Vectors live in a dense
+``[capacity, D]`` device array in storage dtype with a per-row fp32 scale,
+precomputed squared norms, and a validity (tombstone) mask. Mutation is
+slot-allocated + staged:
+
+- upsert resolves the primary key to an existing slot (overwrite) or pops a
+  free slot / appends; rows are staged host-side and applied to the device
+  in one batched scatter (``.at[slots].set``) with buffer donation — the
+  functional-update analogue of the reference's per-shard map writes.
+- delete tombstones the slot (valid=False) and returns it to the free list;
+  compaction is implicit (slots are reused) rather than stop-the-world.
+- capacity grows by doubling in 8192-row quanta so the scan kernel always
+  sees block-aligned shapes (no dynamic shapes under jit).
+
+Search = the streaming MXU scan in :mod:`coltt_tpu.ops.topk`. Filtered
+search takes the candidate bitmap from the host index and picks between two
+regimes (SURVEY.md §8 hard part (c)): a *gather* kernel when the candidate
+set is small (rows gathered into a padded [C', D] tile) and a *masked full
+scan* when it is large — the cost crossover is capacity/8.
+"""
+
+from __future__ import annotations
+
+import io
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import msgpack
+import numpy as np
+
+from coltt_tpu.ops.distance import Metric
+from coltt_tpu.ops.quant import Quantization, dequantize, quantize, storage_dtype
+from coltt_tpu.ops.topk import DEFAULT_BLOCK_ROWS, scan_topk
+
+_CAPACITY_QUANTUM = 8192
+# candidate-count fraction below which the gather regime wins the masked scan
+_GATHER_FRACTION = 8
+
+_SNAPSHOT_MAGIC = b"CTTFLAT1"
+
+
+def _round_capacity(n: int) -> int:
+    cap = _CAPACITY_QUANTUM
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def _pad_pow2(n: int, lo: int = 128) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _apply_updates(codes, scale, sqnorm, valid, slots, u_codes, u_scale, u_sqnorm, u_valid):
+    """One batched scatter applying staged upserts/deletes in place."""
+    return (
+        codes.at[slots].set(u_codes),
+        scale.at[slots].set(u_scale),
+        sqnorm.at[slots].set(u_sqnorm),
+        valid.at[slots].set(u_valid),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "compute_dtype"))
+def _gather_search(codes, scale, sqnorm, valid, cand, cand_valid, queries, *, k, metric, compute_dtype):
+    """Small-candidate-set regime: gather rows then scan the gathered tile."""
+    g_codes = jnp.take(codes, cand, axis=0)
+    g_scale = jnp.take(scale, cand, axis=0)
+    g_sqnorm = jnp.take(sqnorm, cand, axis=0)
+    g_valid = jnp.take(valid, cand, axis=0) & cand_valid
+    scores, local = scan_topk(
+        queries, g_codes, g_scale, g_sqnorm, g_valid,
+        k=k, metric=metric, compute_dtype=compute_dtype,
+        block_rows=g_codes.shape[0],
+    )
+    return scores, jnp.take(cand, local)
+
+
+class FlatStore:
+    """Quantized FLAT store over dense slots. Host object orchestrating
+    jitted device functions; all device state is replaced functionally."""
+
+    def __init__(
+        self,
+        dim: int,
+        *,
+        metric: Metric = Metric.COSINE,
+        quantization: Quantization = Quantization.NONE,
+        compute_dtype=None,
+        base_capacity: int = _CAPACITY_QUANTUM,
+        sharding: Optional[jax.sharding.Sharding] = None,
+    ):
+        self.dim = int(dim)
+        self.metric = Metric.parse(metric)
+        self.quantization = Quantization.parse(quantization)
+        self._qdtype = storage_dtype(self.quantization)
+        # "arithmetic in fp32" parity: unquantized stores scan at full f32
+        # precision; quantized stores scan in bf16 (their codes carry less
+        # information than bf16 anyway, so the MXU fast path is free).
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.float32 if self.quantization == Quantization.NONE else jnp.bfloat16
+            )
+        self.compute_dtype = compute_dtype
+        self.sharding = sharding
+
+        cap = _round_capacity(max(base_capacity, _CAPACITY_QUANTUM))
+        self._alloc(cap)
+
+        self.pk_to_slot: Dict[str, int] = {}
+        self.slot_to_pk: Dict[int, str] = {}
+        self._free: List[int] = []
+        self._next_slot = 0
+
+        # staged mutations: slot -> (f32 row | None for delete)
+        self._pending: Dict[int, Optional[np.ndarray]] = {}
+
+    # -- device state ------------------------------------------------------
+    def _alloc(self, cap: int) -> None:
+        self.codes = self._put(jnp.zeros((cap, self.dim), self._qdtype))
+        self.scale = self._put(jnp.ones((cap, 1), jnp.float32))
+        self.sqnorm = self._put(jnp.zeros((cap,), jnp.float32))
+        self.valid = self._put(jnp.zeros((cap,), jnp.bool_))
+        self.capacity = cap
+
+    def _put(self, x):
+        return jax.device_put(x, self.sharding) if self.sharding is not None else x
+
+    def _grow(self, need: int) -> None:
+        new_cap = _round_capacity(need)
+        pad = new_cap - self.capacity
+        self.codes = self._put(
+            jnp.concatenate([self.codes, jnp.zeros((pad, self.dim), self._qdtype)])
+        )
+        self.scale = self._put(
+            jnp.concatenate([self.scale, jnp.ones((pad, 1), jnp.float32)])
+        )
+        self.sqnorm = self._put(
+            jnp.concatenate([self.sqnorm, jnp.zeros((pad,), jnp.float32)])
+        )
+        self.valid = self._put(
+            jnp.concatenate([self.valid, jnp.zeros((pad,), jnp.bool_)])
+        )
+        self.capacity = new_cap
+
+    # -- mutation ----------------------------------------------------------
+    def _take_slot(self) -> int:
+        if self._free:
+            return self._free.pop()
+        slot = self._next_slot
+        self._next_slot += 1
+        if self._next_slot > self.capacity:
+            self._grow(self._next_slot)
+        return slot
+
+    def upsert(self, pk: str, vector: np.ndarray) -> int:
+        """Insert or overwrite by primary key (ChangedVertex parity,
+        edge/f16_vectorstore.go:67-107)."""
+        vec = np.asarray(vector, np.float32).reshape(-1)
+        if vec.shape[0] != self.dim:
+            raise ValueError(
+                f"dimension mismatch: got {vec.shape[0]}, collection dim {self.dim}"
+            )
+        slot = self.pk_to_slot.get(pk)
+        if slot is None:
+            slot = self._take_slot()
+            self.pk_to_slot[pk] = slot
+            self.slot_to_pk[slot] = pk
+        self._pending[slot] = vec
+        return slot
+
+    def delete(self, pk: str) -> Optional[int]:
+        """Tombstone + free the slot (RemoveVertex parity,
+        edge/f16_vectorstore.go:108-130)."""
+        slot = self.pk_to_slot.pop(pk, None)
+        if slot is None:
+            return None
+        self.slot_to_pk.pop(slot, None)
+        self._pending[slot] = None
+        self._free.append(slot)
+        return slot
+
+    def sync(self) -> None:
+        """Apply staged mutations in one batched scatter. Batch is padded to
+        a power-of-two bucket so jit recompiles stay bounded."""
+        if not self._pending:
+            return
+        items = sorted(self._pending.items())
+        self._pending = {}
+        slots = np.array([s for s, _ in items], np.int32)
+        rows = np.stack(
+            [np.zeros(self.dim, np.float32) if v is None else v for _, v in items]
+        )
+        alive = np.array([v is not None for _, v in items], bool)
+
+        n = len(slots)
+        padded = _pad_pow2(n)
+        if padded != n:
+            # duplicate the first entry; duplicate scatter of identical rows
+            # is idempotent
+            slots = np.concatenate([slots, np.full(padded - n, slots[0], np.int32)])
+            rows = np.concatenate([rows, np.repeat(rows[:1], padded - n, axis=0)])
+            alive = np.concatenate([alive, np.full(padded - n, alive[0])])
+
+        u_codes, u_scale = quantize(jnp.asarray(rows), self.quantization)
+        u_codes = u_codes.astype(self._qdtype)
+        deq = dequantize(u_codes, u_scale)
+        u_sqnorm = jnp.sum(deq * deq, axis=1)
+        self.codes, self.scale, self.sqnorm, self.valid = _apply_updates(
+            self.codes, self.scale, self.sqnorm, self.valid,
+            jnp.asarray(slots), u_codes, u_scale, u_sqnorm, jnp.asarray(alive),
+        )
+
+    # -- queries -----------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.pk_to_slot)
+
+    @property
+    def memory_bytes(self) -> int:
+        per_row = (
+            self.dim * jnp.dtype(self._qdtype).itemsize + 4 + 4 + 1
+        )
+        return self.capacity * per_row
+
+    def get_vector(self, pk: str) -> Optional[np.ndarray]:
+        slot = self.pk_to_slot.get(pk)
+        if slot is None:
+            return None
+        pend = self._pending.get(slot)
+        if pend is not None:
+            return pend.copy()
+        self.sync()
+        row = jax.device_get(self.codes[slot]).astype(np.float32)
+        return row * float(jax.device_get(self.scale[slot])[0])
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        *,
+        candidates: Optional[np.ndarray] = None,
+        metric: Optional[Metric] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k scan. Returns ``(scores [Q,k], slots [Q,k])``; empty slots
+        carry score -inf. ``candidates`` is an optional dense int32 array of
+        allowed slots (from the inverted index) — the filtered path."""
+        self.sync()
+        metric = self.metric if metric is None else Metric.parse(metric)
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if queries.shape[1] != self.dim:
+            raise ValueError(
+                f"query dim {queries.shape[1]} != collection dim {self.dim}"
+            )
+        k = max(1, int(k))
+
+        if candidates is not None:
+            candidates = np.asarray(candidates, np.int32).reshape(-1)
+            if candidates.size == 0:
+                q = queries.shape[0]
+                return (
+                    np.full((q, k), -np.inf, np.float32),
+                    np.full((q, k), -1, np.int32),
+                )
+            if candidates.size < max(k, self.capacity // _GATHER_FRACTION):
+                return self._search_gathered(queries, candidates, k, metric)
+            mask = np.zeros(self.capacity, bool)
+            mask[candidates] = True
+            valid = self.valid & jnp.asarray(mask)
+        else:
+            valid = self.valid
+
+        block = min(DEFAULT_BLOCK_ROWS, self.capacity)
+        scores, slots = scan_topk(
+            jnp.asarray(queries), self.codes, self.scale, self.sqnorm, valid,
+            k=min(k, self.capacity), metric=metric,
+            compute_dtype=self.compute_dtype, block_rows=block,
+        )
+        return self._trim(np.asarray(scores), np.asarray(slots), k)
+
+    def _search_gathered(self, queries, candidates, k, metric):
+        n = candidates.size
+        padded = _pad_pow2(max(n, k))
+        cand = np.zeros(padded, np.int32)
+        cand[:n] = candidates
+        cand_valid = np.zeros(padded, bool)
+        cand_valid[:n] = True
+        scores, slots = _gather_search(
+            self.codes, self.scale, self.sqnorm, self.valid,
+            jnp.asarray(cand), jnp.asarray(cand_valid), jnp.asarray(queries),
+            k=min(k, padded), metric=metric, compute_dtype=self.compute_dtype,
+        )
+        return self._trim(np.asarray(scores), np.asarray(slots), k)
+
+    @staticmethod
+    def _trim(scores, slots, k):
+        if scores.shape[1] < k:
+            q = scores.shape[0]
+            pad = k - scores.shape[1]
+            scores = np.concatenate(
+                [scores, np.full((q, pad), -np.inf, np.float32)], axis=1
+            )
+            slots = np.concatenate([slots, np.full((q, pad), -1, np.int32)], axis=1)
+        slots = np.where(np.isneginf(scores), -1, slots)
+        return scores, slots
+
+    # -- persistence -------------------------------------------------------
+    def save(self, f: io.BufferedIOBase) -> None:
+        """Binary snapshot (SaveVertex parity, edge/f16_vectorstore.go:317+).
+        Layout: magic, msgpack header, then raw array bytes."""
+        self.sync()
+        codes = np.asarray(jax.device_get(self.codes))
+        scale = np.asarray(jax.device_get(self.scale))
+        sqnorm = np.asarray(jax.device_get(self.sqnorm))
+        valid = np.asarray(jax.device_get(self.valid))
+        header = {
+            "dim": self.dim,
+            "metric": int(self.metric),
+            "quantization": int(self.quantization),
+            "capacity": self.capacity,
+            "next_slot": self._next_slot,
+            "free": self._free,
+            "pks": [[pk, slot] for pk, slot in self.pk_to_slot.items()],
+        }
+        hb = msgpack.packb(header, use_bin_type=True)
+        f.write(_SNAPSHOT_MAGIC)
+        f.write(len(hb).to_bytes(8, "big"))
+        f.write(hb)
+        for arr in (codes, scale, sqnorm, valid):
+            f.write(arr.tobytes())
+
+    @classmethod
+    def load(
+        cls, f: io.BufferedIOBase, *, sharding: Optional[jax.sharding.Sharding] = None
+    ) -> "FlatStore":
+        magic = f.read(len(_SNAPSHOT_MAGIC))
+        if magic != _SNAPSHOT_MAGIC:
+            raise ValueError("not a FlatStore snapshot")
+        hlen = int.from_bytes(f.read(8), "big")
+        header = msgpack.unpackb(f.read(hlen), raw=False)
+        store = cls(
+            header["dim"],
+            metric=Metric.parse(header["metric"]),
+            quantization=Quantization.parse(header["quantization"]),
+            base_capacity=header["capacity"],
+            sharding=sharding,
+        )
+        cap, dim = header["capacity"], header["dim"]
+        qdt = np.dtype(store._qdtype)
+        codes = np.frombuffer(f.read(cap * dim * qdt.itemsize), qdt).reshape(cap, dim)
+        scale = np.frombuffer(f.read(cap * 4), np.float32).reshape(cap, 1)
+        sqnorm = np.frombuffer(f.read(cap * 4), np.float32)
+        valid = np.frombuffer(f.read(cap), np.bool_)
+        store.codes = store._put(jnp.asarray(codes))
+        store.scale = store._put(jnp.asarray(scale))
+        store.sqnorm = store._put(jnp.asarray(sqnorm))
+        store.valid = store._put(jnp.asarray(valid))
+        store._next_slot = header["next_slot"]
+        store._free = list(header["free"])
+        store.pk_to_slot = {pk: slot for pk, slot in header["pks"]}
+        store.slot_to_pk = {slot: pk for pk, slot in header["pks"]}
+        return store

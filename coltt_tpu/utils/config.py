@@ -1,0 +1,95 @@
+"""Configuration system: TOML file + environment overrides.
+
+Reference parity-and-fix: the reference declares a TOML-tagged global
+``Config`` (NodeID/Standalone/JetStream/RootLayer, ``config/config.go:46-118``)
+but never wrote the file loader — it runs on compile-time defaults with
+hardcoded MinIO endpoints (SURVEY.md §5). Here the same shape actually
+loads: defaults -> TOML file (stdlib tomllib) -> ``COLTT_*`` env overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tomllib
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class RootLayerConfig:
+    bind_address: str = "0.0.0.0:50051"
+    prof_address: str = "0.0.0.0:10224"
+    max_recv_msg_size: int = 10 * 1024 * 1024
+    max_send_msg_size: int = 10 * 1024 * 1024
+    keepalive_time_s: int = 60
+    keepalive_timeout_s: int = 10
+    tls_pem: Optional[str] = None
+    tls_key: Optional[str] = None
+
+
+@dataclass
+class StorageConfig:
+    data_dir: str = "./data_dir"
+    object_store_root: str = "./object_store"
+    wal_segment_size: int = 1 << 30
+    wal_sync_on_write: bool = False
+
+
+@dataclass
+class MeshConfig:
+    """Replaces the reference's vestigial JetStream cluster block with the
+    real multi-chip story: axis sizes for the device mesh."""
+
+    shard_axis: str = "shard"
+    num_shards: int = 0  # 0 = all local devices
+
+
+@dataclass
+class Config:
+    node_id: int = 0
+    standalone: bool = True
+    mode: str = "edge"  # root | edge | experimental
+    root_layer: RootLayerConfig = field(default_factory=RootLayerConfig)
+    storage: StorageConfig = field(default_factory=StorageConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def _apply_dict(obj, d: dict):
+    for f in dataclasses.fields(obj):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        cur = getattr(obj, f.name)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            _apply_dict(cur, v)
+        else:
+            setattr(obj, f.name, v)
+
+
+def _apply_env(obj, prefix: str):
+    for f in dataclasses.fields(obj):
+        cur = getattr(obj, f.name)
+        key = f"{prefix}_{f.name}".upper()
+        if dataclasses.is_dataclass(cur):
+            _apply_env(cur, key)
+            continue
+        raw = os.environ.get(key)
+        if raw is None:
+            continue
+        t = type(cur) if cur is not None else str
+        if t is bool:
+            setattr(obj, f.name, raw.lower() in ("1", "true", "yes", "on"))
+        elif t is int:
+            setattr(obj, f.name, int(raw))
+        else:
+            setattr(obj, f.name, raw)
+
+
+def load_config(path: Optional[str] = None) -> Config:
+    cfg = Config()
+    if path and os.path.exists(path):
+        with open(path, "rb") as f:
+            _apply_dict(cfg, tomllib.load(f))
+    _apply_env(cfg, "COLTT")
+    return cfg

@@ -1,0 +1,136 @@
+"""FlatStore: upsert/delete/search/filtered-search/snapshot tests.
+
+Mirrors the reference edge vectorstore behaviors: primary-key upsert
+overwrite, delete-then-search excludes tombstones, filtered scan over
+candidates, save/load roundtrip (SaveVertex/LoadVertex parity).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from coltt_tpu.ops.distance import Metric
+from coltt_tpu.ops.quant import Quantization
+from coltt_tpu.store.flat import FlatStore
+
+
+def _mk(rng, n=100, dim=32, q=Quantization.NONE, metric=Metric.COSINE):
+    store = FlatStore(dim, metric=metric, quantization=q)
+    vecs = rng.standard_normal((n, dim), dtype=np.float32)
+    for i in range(n):
+        store.upsert(f"pk{i}", vecs[i])
+    return store, vecs
+
+
+def test_upsert_search_exact_top1(rng):
+    store, vecs = _mk(rng)
+    scores, slots = store.search(vecs[17], k=1)
+    assert slots[0, 0] == store.pk_to_slot["pk17"]
+    assert scores[0, 0] > 99.9  # self-match on cosine = 100
+
+
+def test_upsert_overwrites_by_pk(rng):
+    store, vecs = _mk(rng, n=10)
+    assert len(store) == 10
+    new_vec = rng.standard_normal(32, dtype=np.float32)
+    slot_before = store.pk_to_slot["pk3"]
+    store.upsert("pk3", new_vec)
+    assert len(store) == 10
+    assert store.pk_to_slot["pk3"] == slot_before
+    _, slots = store.search(new_vec, k=1)
+    assert slots[0, 0] == slot_before
+
+
+def test_delete_excludes_and_reuses_slot(rng):
+    store, vecs = _mk(rng, n=10)
+    slot = store.pk_to_slot["pk5"]
+    assert store.delete("pk5") == slot
+    assert store.delete("pk5") is None
+    _, slots = store.search(vecs[5], k=10)
+    assert slot not in slots[0][slots[0] >= 0] or store.slot_to_pk.get(slot) != "pk5"
+    scores, slots = store.search(vecs[5], k=1)
+    assert slots[0, 0] != slot
+    # freed slot is reused
+    new_slot = store.upsert("pk_new", rng.standard_normal(32, dtype=np.float32))
+    assert new_slot == slot
+
+
+def test_search_matches_bruteforce(rng):
+    store, vecs = _mk(rng, n=200, metric=Metric.EUCLIDEAN)
+    q = rng.standard_normal((2, 32), dtype=np.float32)
+    scores, slots = store.search(q, k=5)
+    d = ((q[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+    want = np.argsort(d, axis=1)[:, :5]
+    for i in range(2):
+        got_pks = {store.slot_to_pk[s] for s in slots[i]}
+        want_pks = {f"pk{j}" for j in want[i]}
+        assert got_pks == want_pks
+
+
+def test_filtered_search_gather_and_mask(rng):
+    store, vecs = _mk(rng, n=300)
+    q = vecs[42]
+    # tiny candidate set -> gather regime
+    cands = np.array([store.pk_to_slot[f"pk{i}"] for i in (1, 42, 99)], np.int32)
+    scores, slots = store.search(q, k=2, candidates=cands)
+    assert slots[0, 0] == store.pk_to_slot["pk42"]
+    assert set(slots[0][slots[0] >= 0]) <= set(cands.tolist())
+    # big candidate set -> masked scan regime
+    cands = np.arange(0, 300, 2, dtype=np.int32)
+    scores, slots = store.search(q, k=3, candidates=cands)
+    assert set(slots[0][slots[0] >= 0]) <= set(cands.tolist())
+    # empty candidates
+    scores, slots = store.search(q, k=3, candidates=np.array([], np.int32))
+    assert (slots == -1).all() and np.isneginf(scores).all()
+
+
+@pytest.mark.parametrize("q", [Quantization.F16, Quantization.BF16, Quantization.F8])
+def test_quantized_self_retrieval(q, rng):
+    store, vecs = _mk(rng, n=128, dim=64, q=q)
+    scores, slots = store.search(vecs[:8], k=1)
+    want = [store.pk_to_slot[f"pk{i}"] for i in range(8)]
+    assert slots[:, 0].tolist() == want
+
+
+def test_capacity_growth(rng):
+    store = FlatStore(8, base_capacity=8192)
+    vecs = rng.standard_normal((10, 8), dtype=np.float32)
+    for i in range(10):
+        store.upsert(f"a{i}", vecs[i])
+    store._grow(20000)
+    assert store.capacity >= 20000
+    _, slots = store.search(vecs[7], k=1)
+    assert store.slot_to_pk[int(slots[0, 0])] == "a7"
+
+
+def test_snapshot_roundtrip(rng):
+    store, vecs = _mk(rng, n=50, q=Quantization.F8)
+    store.delete("pk7")
+    buf = io.BytesIO()
+    store.save(buf)
+    buf.seek(0)
+    back = FlatStore.load(buf)
+    assert len(back) == len(store)
+    assert back.quantization == Quantization.F8
+    assert back.pk_to_slot == store.pk_to_slot
+    s1, i1 = store.search(vecs[3], k=5)
+    s2, i2 = back.search(vecs[3], k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6)
+
+
+def test_dim_mismatch_raises(rng):
+    store = FlatStore(16)
+    with pytest.raises(ValueError):
+        store.upsert("x", np.zeros(8, np.float32))
+    with pytest.raises(ValueError):
+        store.search(np.zeros((1, 8), np.float32), k=1)
+
+
+def test_get_vector_roundtrip(rng):
+    store = FlatStore(16, quantization=Quantization.NONE)
+    v = rng.standard_normal(16, dtype=np.float32)
+    store.upsert("x", v)
+    np.testing.assert_allclose(store.get_vector("x"), v, atol=1e-6)
+    assert store.get_vector("nope") is None

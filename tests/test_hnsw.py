@@ -1,0 +1,144 @@
+"""HNSW: recall, mutation, snapshot roundtrip, device-vs-host agreement.
+
+Mirrors the reference's hnsw_commit_test.go (build with random deletions,
+serialize, reload, structural + search equivalence) plus recall gates the
+reference never had.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from coltt_tpu.ops.distance import Metric
+from coltt_tpu.store.hnsw import HEURISTIC, HnswConfig, HnswIndex
+
+
+def _brute_topk(vecs, q, k, metric=Metric.COSINE, exclude=()):
+    if metric == Metric.COSINE:
+        d = 1 - (vecs @ q) / (np.linalg.norm(q) * np.linalg.norm(vecs, axis=1) + 1e-30)
+    else:
+        d = ((vecs - q) ** 2).sum(1)
+    d = d.copy()
+    for e in exclude:
+        d[e] = np.inf
+    return np.argsort(d)[:k]
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(7)
+    n, dim = 400, 24
+    vecs = rng.standard_normal((n, dim), dtype=np.float32)
+    idx = HnswIndex(dim, metric=Metric.COSINE, config=HnswConfig(m=8, ef_construction=60), seed=1)
+    for i in range(n):
+        idx.insert(vecs[i])
+    return idx, vecs
+
+
+def test_recall_at_10(built):
+    idx, vecs = built
+    rng = np.random.default_rng(3)
+    qs = rng.standard_normal((20, vecs.shape[1]), dtype=np.float32)
+    hits = total = 0
+    d, ids = idx.search(qs, k=10, ef=64)
+    for i in range(20):
+        want = set(_brute_topk(vecs, qs[i], 10))
+        got = set(int(x) for x in ids[i] if x >= 0)
+        hits += len(want & got)
+        total += 10
+    assert hits / total >= 0.9, f"recall@10 {hits/total}"
+
+
+def test_device_matches_host_search(built):
+    idx, vecs = built
+    rng = np.random.default_rng(5)
+    qs = rng.standard_normal((4, vecs.shape[1]), dtype=np.float32)
+    dd, di = idx.search(qs, k=5, ef=48, device=True)
+    hd, hi = idx.search(qs, k=5, ef=48, device=False)
+    for i in range(4):
+        # same candidates up to tie/precision noise: compare distance values
+        np.testing.assert_allclose(np.sort(dd[i]), np.sort(hd[i]), atol=1e-3)
+
+
+def test_remove_excludes_from_results(built):
+    idx, vecs = built
+    # fresh copy via snapshot to avoid polluting the module fixture
+    buf = io.BytesIO()
+    idx.save(buf)
+    buf.seek(0)
+    idx2 = HnswIndex.load(buf)
+    target = 123
+    d, ids = idx2.search(vecs[target], k=1, ef=32)
+    assert ids[0, 0] == target
+    assert idx2.remove(target)
+    assert not idx2.remove(target)
+    d, ids = idx2.search(vecs[target], k=5, ef=32)
+    assert target not in ids[0]
+    want = _brute_topk(vecs, vecs[target], 1, exclude=[target])[0]
+    assert ids[0, 0] == want
+
+
+def test_remove_entrypoint_recovers():
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((50, 8), dtype=np.float32)
+    idx = HnswIndex(8, config=HnswConfig(m=4, ef_construction=20), seed=2)
+    for v in vecs:
+        idx.insert(v)
+    ep = idx.entrypoint
+    idx.remove(ep)
+    d, ids = idx.search(vecs[10], k=3, ef=16)
+    assert (ids[0] >= 0).all()
+    assert ep not in ids[0]
+
+
+def test_heuristic_selection_builds_and_searches():
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((150, 16), dtype=np.float32)
+    cfg = HnswConfig(
+        m=6, ef_construction=40, algorithm=HEURISTIC,
+        heuristic_extend_candidates=True, heuristic_keep_pruned=True,
+    )
+    idx = HnswIndex(16, metric=Metric.EUCLIDEAN, config=cfg, seed=3)
+    for v in vecs:
+        idx.insert(v)
+    d, ids = idx.search(vecs[77], k=1, ef=32)
+    assert ids[0, 0] == 77
+
+
+def test_snapshot_roundtrip_structural(built):
+    """hnsw_commit_test.go parity: serialize -> load -> deep equality +
+    search equivalence, with deletions present."""
+    idx, vecs = built
+    buf = io.BytesIO()
+    idx.save(buf)
+    buf.seek(0)
+    idx2 = HnswIndex.load(buf)
+    # deletions applied post-load still work
+    n = idx._next
+    assert idx2._next == n
+    np.testing.assert_array_equal(idx2._levels[:n], idx._levels[:n])
+    np.testing.assert_array_equal(idx2._alive[:n], idx._alive[:n])
+    np.testing.assert_allclose(idx2._vecs[:n], idx._vecs[:n], atol=1e-6)
+    for lvl in range(len(idx._adj)):
+        np.testing.assert_array_equal(idx2._adj[lvl][:n], idx._adj[lvl][:n])
+    assert idx2.entrypoint == idx.entrypoint
+    assert idx2.config == idx.config
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal((3, vecs.shape[1]), dtype=np.float32)
+    d1, i1 = idx.search(q, k=5)
+    d2, i2 = idx2.search(q, k=5)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_config_defaults():
+    c = HnswConfig().resolved()
+    assert c.m_max == 16 and c.m_max0 == 32 and c.ef == 20
+    assert c.ef_construction == 200
+    assert abs(c.level_multiplier - 1 / np.log(16)) < 1e-9
+
+
+def test_empty_index_search():
+    idx = HnswIndex(8)
+    d, ids = idx.search(np.zeros((2, 8), np.float32), k=3)
+    assert (ids == -1).all() and np.isinf(d).all()

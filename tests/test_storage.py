@@ -1,0 +1,191 @@
+"""WAL / KV / object store tests: durability, replay, compaction, versioning."""
+
+import os
+
+import pytest
+
+from coltt_tpu.storage.kv import KV
+from coltt_tpu.storage.objectstore import BucketError, LocalObjectStore
+from coltt_tpu.storage.wal import BLOCK_SIZE, WAL, ChunkPosition
+
+
+# -- WAL -------------------------------------------------------------------
+
+def test_wal_write_read_roundtrip(tmp_path):
+    w = WAL(str(tmp_path / "wal"))
+    payloads = [b"hello", b"x" * 10, b"y" * 100_000]  # last spans blocks
+    positions = [w.write(p) for p in payloads]
+    for p, pos in zip(payloads, positions):
+        assert w.read(pos) == p
+    w.close()
+
+
+def test_wal_replay_order_and_positions(tmp_path):
+    w = WAL(str(tmp_path / "wal"))
+    payloads = [f"item{i}".encode() * (i * 1000 + 1) for i in range(8)]
+    w.write_batch(payloads)
+    w.close()
+    w2 = WAL(str(tmp_path / "wal"))
+    got = list(w2.read_all())
+    assert [g[0] for g in got] == payloads
+    for data, pos in got:
+        assert w2.read(pos) == data
+    w2.close()
+
+
+def test_wal_block_boundary_payloads(tmp_path):
+    w = WAL(str(tmp_path / "wal"))
+    sizes = [BLOCK_SIZE - 7, BLOCK_SIZE - 8, BLOCK_SIZE, BLOCK_SIZE * 2 + 5, 1, 0]
+    positions = [w.write(bytes([i % 251]) * s) for i, s in enumerate(sizes)]
+    for i, (s, pos) in enumerate(zip(sizes, positions)):
+        assert w.read(pos) == bytes([i % 251]) * s
+    w.close()
+
+
+def test_wal_segment_rotation(tmp_path):
+    w = WAL(str(tmp_path / "wal"), segment_size=64 * 1024)
+    for i in range(10):
+        w.write(b"z" * 20_000)
+    assert len(w.segments()) > 1
+    items = list(w.read_all())
+    assert len(items) == 10
+    w.close()
+
+
+def test_wal_torn_tail_ignored(tmp_path):
+    w = WAL(str(tmp_path / "wal"))
+    w.write(b"good")
+    w.close()
+    # corrupt: append garbage that looks like a header
+    seg = sorted(os.listdir(tmp_path / "wal"))[0]
+    with open(tmp_path / "wal" / seg, "ab") as f:
+        f.write(b"\xde\xad\xbe\xef\x00\x10\x00garbage")
+    w2 = WAL(str(tmp_path / "wal"))
+    got = [d for d, _ in w2.read_all()]
+    assert got == [b"good"]
+    w2.close()
+
+
+# -- KV ----------------------------------------------------------------------
+
+def test_kv_basic_ops(tmp_path):
+    kv = KV(str(tmp_path / "db"))
+    kv.put(b"a", b"1")
+    kv.put(b"b", b"2")
+    assert kv.get(b"a") == b"1"
+    assert kv.exists(b"b")
+    assert not kv.exists(b"c")
+    kv.delete(b"a")
+    assert kv.get(b"a") is None
+    assert len(kv) == 1
+    kv.close()
+
+
+def test_kv_replay_after_reopen(tmp_path):
+    kv = KV(str(tmp_path / "db"))
+    for i in range(20):
+        kv.put(f"k{i:03d}".encode(), f"v{i}".encode())
+    kv.delete(b"k005")
+    kv.close()
+    kv2 = KV(str(tmp_path / "db"))
+    assert len(kv2) == 19
+    assert kv2.get(b"k007") == b"v7"
+    assert kv2.get(b"k005") is None
+    kv2.close()
+
+
+def test_kv_batch_atomicity(tmp_path):
+    kv = KV(str(tmp_path / "db"))
+    b = kv.new_batch()
+    b.put(b"x", b"1")
+    b.put(b"y", b"2")
+    assert kv.get(b"x") is None  # not visible before commit
+    assert b.get(b"x") == b"1"   # visible within the batch
+    b.commit()
+    assert kv.get(b"x") == b"1" and kv.get(b"y") == b"2"
+    kv.close()
+
+
+def test_kv_ordered_iteration_and_prefix(tmp_path):
+    kv = KV(str(tmp_path / "db"))
+    for k in [b"col_b", b"col_a", b"zzz", b"col_c"]:
+        kv.put(k, k.upper())
+    assert [k for k, _ in kv.ascend()] == [b"col_a", b"col_b", b"col_c", b"zzz"]
+    assert [k for k, _ in kv.descend()][0] == b"zzz"
+    assert kv.keys(b"col_") == [b"col_a", b"col_b", b"col_c"]
+    assert [k for k, _ in kv.ascend(start=b"col_b", end=b"col_c")] == [b"col_b", b"col_c"]
+    kv.close()
+
+
+def test_kv_merge_compaction(tmp_path):
+    kv = KV(str(tmp_path / "db"), segment_size=32 * 1024)
+    for i in range(200):
+        kv.put(b"hot", f"v{i}".encode() * 100)
+        kv.put(f"cold{i}".encode(), b"x")
+    before_segments = len(kv._wal.segments())
+    kv.merge()
+    assert kv.get(b"hot") == b"v199" * 100
+    assert len(kv) == 201
+    assert len(kv._wal.segments()) < before_segments
+    kv.close()
+    kv2 = KV(str(tmp_path / "db"))
+    assert kv2.get(b"cold42") == b"x"
+    assert len(kv2) == 201
+    kv2.close()
+
+
+def test_kv_dir_lock(tmp_path):
+    kv = KV(str(tmp_path / "db"))
+    with pytest.raises(RuntimeError):
+        KV(str(tmp_path / "db"))
+    kv.close()
+
+
+def test_kv_watch(tmp_path):
+    kv = KV(str(tmp_path / "db"))
+    events = []
+    kv.watch(lambda ev, k, v: events.append((ev, k)))
+    kv.put(b"a", b"1")
+    kv.delete(b"a")
+    assert events == [("put", b"a"), ("delete", b"a")]
+    kv.close()
+
+
+# -- Object store ---------------------------------------------------------------
+
+def test_object_store_basic(tmp_path):
+    s = LocalObjectStore(str(tmp_path / "os"))
+    s.create_bucket("col1")
+    assert s.bucket_exists("col1")
+    assert not s.bucket_exists("nope")
+    s.put_object("col1", "a.bin", b"data")
+    assert s.get_object("col1", "a.bin") == b"data"
+    assert s.get_object("col1", "missing") is None
+    assert s.list_objects("col1") == ["a.bin"]
+    s.delete_object("col1", "a.bin")
+    assert not s.object_exists("col1", "a.bin")
+    s.delete_bucket("col1")
+    assert not s.bucket_exists("col1")
+
+
+def test_object_store_versioning_and_gc(tmp_path):
+    s = LocalObjectStore(str(tmp_path / "os"))
+    s.create_bucket("v", versioning=True)
+    for i in range(5):
+        s.put_object("v", "obj", f"v{i}".encode())
+    assert s.get_object("v", "obj") == b"v4"
+    assert s.list_versions("v", "obj") == [1, 2, 3, 4]
+    purged = s.cleanup_versions("v", "obj", keep=2)
+    assert purged == 2
+    assert s.list_versions("v", "obj") == [3, 4]
+
+
+def test_object_store_put_requires_bucket(tmp_path):
+    s = LocalObjectStore(str(tmp_path / "os"))
+    with pytest.raises(BucketError):
+        s.put_object("ghost", "x", b"")
+    with pytest.raises(BucketError):
+        s.create_bucket("../escape")
+    s.create_bucket("ok")
+    with pytest.raises(BucketError):
+        s.put_object("ok", "../escape", b"")
