@@ -138,6 +138,14 @@ class CollectionSchema:
             ok_types = _PY_TYPES[fs.type]
             if fs.type != FieldType.BOOLEAN and isinstance(v, bool):
                 raise SchemaError(f"field {name!r}: expected {fs.type.name}, got bool")
+            if (
+                fs.type == FieldType.INTEGER
+                and isinstance(v, float)
+                and v.is_integer()
+            ):
+                # protobuf Struct carries all numbers as doubles; whole
+                # doubles are valid integers at the wire boundary
+                v = int(v)
             if not isinstance(v, ok_types):
                 raise SchemaError(
                     f"field {name!r}: expected {fs.type.name}, got {type(v).__name__}"

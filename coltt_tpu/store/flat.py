@@ -184,6 +184,28 @@ class FlatStore:
         self._pending[slot] = vec
         return slot
 
+    def upsert_many(self, pks, vectors) -> List[int]:
+        """Bulk upsert: one staging pass, one scatter at next sync. The bulk
+        path the reference lacks (its gRPC Insert is one-by-one; SURVEY.md §6
+        notes 1M inserts take ~600s there)."""
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(
+                f"expected [N, {self.dim}] vectors, got {vectors.shape}"
+            )
+        if len(pks) != vectors.shape[0]:
+            raise ValueError("pks/vectors length mismatch")
+        slots = []
+        for pk, vec in zip(pks, vectors):
+            slot = self.pk_to_slot.get(pk)
+            if slot is None:
+                slot = self._take_slot()
+                self.pk_to_slot[pk] = slot
+                self.slot_to_pk[slot] = pk
+            self._pending[slot] = vec
+            slots.append(slot)
+        return slots
+
     def delete(self, pk: str) -> Optional[int]:
         """Tombstone + free the slot (RemoveVertex parity,
         edge/f16_vectorstore.go:108-130)."""

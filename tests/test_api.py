@@ -1,0 +1,184 @@
+"""End-to-end gRPC tests: real server + client over localhost for all three
+service surfaces (root_layer parity)."""
+
+import grpc
+import numpy as np
+import pytest
+
+from coltt_tpu.api.client import CoreClient, EdgeClient, ExperimentalClient
+from coltt_tpu.api.server import build_servicer, create_server
+from coltt_tpu.index.filter import And, Filter, Op
+from coltt_tpu.index.schema import CollectionSchema, FieldSchema, FieldType
+from coltt_tpu.ops.quant import Quantization
+from coltt_tpu.utils.config import Config
+
+DIM = 8
+
+
+def _serve(mode, tmp_path):
+    cfg = Config()
+    cfg.root_layer.bind_address = "127.0.0.1:0"
+    cfg.storage.data_dir = str(tmp_path / "data")
+    cfg.storage.object_store_root = str(tmp_path / "objects")
+    servicer = build_servicer(mode, cfg)
+    server = create_server(servicer, cfg)
+    server.start()
+    channel = grpc.insecure_channel(f"127.0.0.1:{server.bound_port}")
+    return server, servicer, channel
+
+
+@pytest.fixture
+def edge(tmp_path):
+    server, servicer, channel = _serve("edge", tmp_path)
+    yield EdgeClient(channel)
+    channel.close()
+    server.stop(None)
+
+
+@pytest.fixture
+def core(tmp_path):
+    server, servicer, channel = _serve("root", tmp_path)
+    yield CoreClient(channel)
+    channel.close()
+    server.stop(None)
+    servicer.engine.kv.close()
+
+
+@pytest.fixture
+def exp(tmp_path):
+    server, servicer, channel = _serve("experimental", tmp_path)
+    yield ExperimentalClient(channel)
+    channel.close()
+    server.stop(None)
+
+
+def _edge_schema():
+    return CollectionSchema(
+        name="docs", dim=DIM, quantization=Quantization.F16,
+        fields=[
+            FieldSchema("pk", FieldType.STRING, primary_key=True),
+            FieldSchema("lang", FieldType.STRING),
+            FieldSchema("stars", FieldType.INTEGER, enable_null=True),
+        ],
+    )
+
+
+def test_edge_full_flow(edge, rng):
+    assert edge.ping()
+    edge.create_collection(_edge_schema())
+    vecs = rng.standard_normal((20, DIM), dtype=np.float32)
+    for i in range(20):
+        edge.index(
+            "docs", f"p{i}", vecs[i],
+            {"lang": ["ko", "en"][i % 2], "stars": i % 5},
+        )
+    detail = edge.get_collection("docs")
+    assert detail.collection_size == 20
+    assert detail.load
+
+    hits = edge.search("docs", vecs[7], limit=3)
+    assert hits[0]["id"] == "p7"
+    assert hits[0]["score"] > 99.9
+    assert hits[0]["metadata"]["lang"] == "en"
+
+    expr = And(Filter("lang", Op.EQ, "ko"), Filter("stars", Op.GTE, 2))
+    hits = edge.search("docs", vecs[0], limit=20, filter_expression=expr)
+    assert hits and all(
+        h["metadata"]["lang"] == "ko" and h["metadata"]["stars"] >= 2 for h in hits
+    )
+
+    edge.index("docs", "p3", delete=True)
+    assert edge.get_collection("docs").collection_size == 19
+
+    edge.flush("docs")
+    edge.release_collection("docs")
+    assert not edge.get_collection("docs").load
+    edge.load_collection("docs")
+    hits = edge.search("docs", vecs[8], limit=1)
+    assert hits[0]["id"] == "p8"
+    edge.delete_collection("docs")
+
+
+def test_edge_error_surfaces_in_response(edge, rng):
+    # unknown collection -> status=false + error, not a transport error
+    with pytest.raises(RuntimeError, match="does not exist"):
+        edge.search("ghost", np.zeros(DIM), limit=1)
+    edge.create_collection(_edge_schema())
+    with pytest.raises(RuntimeError, match="already exists"):
+        edge.create_collection(_edge_schema())
+    with pytest.raises(RuntimeError, match="expected STRING"):
+        edge.index("docs", "p1", np.zeros(DIM), {"lang": 7})
+
+
+def test_core_full_flow(core, rng):
+    assert core.ping()
+    core.create_collection("c", DIM)
+    vecs = rng.standard_normal((15, DIM), dtype=np.float32)
+    for i in range(15):
+        core.insert("c", vecs[i], {"tag": f"t{i % 3}"}, ext_id=f"id{i}")
+    info = core.collection_info("c")
+    assert info.info.collection_length == 15
+    assert info.info.collection_config.m == 16
+
+    hits, latency = core.vector_search("c", vecs[4], top_k=3, with_latency=True)
+    assert hits[0]["id"] == "id4"
+    assert latency.endswith("ms")
+
+    hits, _ = core.filter_search("c", {"tag": "t1"}, top_k=20, vector=vecs[1])
+    assert hits and all(h["metadata"]["tag"] == "t1" for h in hits)
+
+    hits, _ = core.hybrid_search("c", vecs[2], {"tag": "t2"}, top_k=5)
+    assert hits[0]["id"] == "id2"
+
+    core.update("c", "id4", vecs[0] * 2, {"tag": "changed"})
+    hits, _ = core.vector_search("c", vecs[0] * 2, top_k=1)
+    assert hits[0]["id"] in ("id4", "id0")  # colinear with id0 on cosine
+
+    core.delete("c", "id5")
+    assert core.collection_info("c").info.collection_length == 14
+
+    assert core.compare_dist([1, 0], [1, 0]) == pytest.approx(100.0)
+
+    core.release_collection("c")
+    core.load_collection("c")
+    hits, _ = core.vector_search("c", vecs[7], top_k=1)
+    assert hits[0]["id"] == "id7"
+    core.drop_collection("c")
+
+
+def test_experimental_full_flow(exp, rng):
+    assert exp.ping()
+    schema = CollectionSchema(
+        name="mv", dim=DIM,
+        fields=[
+            FieldSchema("a_vec", FieldType.VECTOR),
+            FieldSchema("b_vec", FieldType.VECTOR),
+            FieldSchema("lang", FieldType.STRING, enable_null=True),
+        ],
+    )
+    exp.create_collection(schema)
+    a = rng.standard_normal((12, DIM), dtype=np.float32)
+    b = rng.standard_normal((12, DIM), dtype=np.float32)
+    for i in range(12):
+        exp.index(
+            "mv", f"r{i}",
+            vectors={"a_vec": a[i], "b_vec": b[i]},
+            metadata={"lang": "ko"},
+        )
+    hits = exp.vector_search(
+        "mv",
+        [("a_vec", a[5], True, 50), ("b_vec", b[5], True, 50)],
+        top_k=2,
+    )
+    assert hits[0]["id"] == "r5"
+    assert hits[0]["score"] > 99.0
+
+    # include_or_not=False drops the field
+    hits = exp.vector_search(
+        "mv", [("a_vec", a[9], True, 100), ("b_vec", b[2], False, 0)], top_k=1
+    )
+    assert hits[0]["id"] == "r9"
+
+    exp.index("mv", "r3", delete=True)
+    exp.flush("mv")
+    exp.delete_collection("mv")
