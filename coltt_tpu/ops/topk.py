@@ -35,11 +35,7 @@ def _block_count(n: int, block: int) -> int:
     return n // block
 
 
-@partial(
-    jax.jit,
-    static_argnames=("k", "metric", "compute_dtype", "block_rows"),
-)
-def scan_topk(
+def scan_neg_topk(
     queries,
     codes,
     scale,
@@ -51,10 +47,13 @@ def scan_topk(
     compute_dtype=jnp.bfloat16,
     block_rows: int = DEFAULT_BLOCK_ROWS,
 ):
-    """Top-k scan over the full store.
+    """Top-k scan returning raw ranking values ``(negdist [Q,k], ids [Q,k])``.
 
-    Returns ``(scores [Q, k], ids [Q, k])`` with scores on the 0-100 scale,
-    descending; tombstoned rows surface as -inf score (callers drop them).
+    Ranks on raw (negated) distance, not the 0-100 score: the euclidean
+    score clips at 0 (max(0, 100-d)) which would tie all far rows. The
+    reference likewise keeps distances in its heaps and normalizes per
+    returned hit only (edge/edge.go:661-681). This raw form is also the
+    merge key for multi-device partials.
     """
     metric = Metric.parse(metric)
     queries = jnp.asarray(queries, jnp.float32)
@@ -62,10 +61,6 @@ def scan_topk(
     blocks = _block_count(n, block_rows)
     kk = min(k, n)
 
-    # Rank on raw (negated) distance, not the 0-100 score: the euclidean
-    # score clips at 0 (max(0, 100-d)) which would tie all far rows. The
-    # reference likewise keeps distances in its heaps and normalizes per
-    # returned hit only (edge/edge.go:661-681).
     if blocks == 1:
         dist = scan_distances(
             queries, codes, scale, sqnorm, valid,
@@ -97,8 +92,37 @@ def scan_topk(
         negd, midx = lax.top_k(vals, kk)
         idx = jnp.take_along_axis(ids, midx, axis=1)
 
+    return negd, idx.astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "metric", "compute_dtype", "block_rows"),
+)
+def scan_topk(
+    queries,
+    codes,
+    scale,
+    sqnorm,
+    valid,
+    *,
+    k: int,
+    metric: Metric = Metric.COSINE,
+    compute_dtype=jnp.bfloat16,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+):
+    """Top-k scan over the full store.
+
+    Returns ``(scores [Q, k], ids [Q, k])`` with scores on the 0-100 scale,
+    descending; tombstoned rows surface as -inf score (callers drop them).
+    """
+    metric = Metric.parse(metric)
+    negd, idx = scan_neg_topk(
+        queries, codes, scale, sqnorm, valid,
+        k=k, metric=metric, compute_dtype=compute_dtype, block_rows=block_rows,
+    )
     score = jnp.where(jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric))
-    return score, idx.astype(jnp.int32)
+    return score, idx
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -1,0 +1,164 @@
+"""Distributed FLAT search: sharded scan + collective top-k merge.
+
+Reference parity: the shard-parallel scan with local PQs and merge
+(edge/f16_vectorstore.go:138-170) scaled from goroutines to devices, and
+the multi-node story the reference never shipped (empty ``loadbalancer/``).
+
+Design (SURVEY.md §7 phase 8 / scaling-book recipe): corpus rows are
+sharded over the mesh's "shard" axis; queries ride the "batch" axis (or are
+replicated when batch=1). Under ``jax.shard_map`` each device scans only
+its local rows with the same streaming MXU kernel as single-chip, keeps a
+local [Q, k] top-k (ranked on raw negated distance so euclidean's clipped
+score cannot tie far rows), then one ``lax.all_gather`` of the tiny [Q, k]
+partials over ICI + a final top-k produce the global result. The collective
+moves k*Q values per device — bytes, not the corpus — so scaling is linear
+in shards until the merge (~microseconds) dominates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from coltt_tpu.ops.distance import Metric
+from coltt_tpu.ops.quant import Quantization, dequantize, quantize, storage_dtype
+from coltt_tpu.ops.score import normalize_score
+from coltt_tpu.ops.topk import scan_neg_topk
+from coltt_tpu.parallel.mesh import BATCH_AXIS, SHARD_AXIS
+
+
+def _local_scan_merge(codes, scale, sqnorm, valid, queries, *, k, metric,
+                      compute_dtype, block_rows):
+    """Per-device body under shard_map: local scan -> global merge."""
+    local_n = codes.shape[0]
+    negd, ids = scan_neg_topk(
+        queries, codes, scale, sqnorm, valid,
+        k=k, metric=metric, compute_dtype=compute_dtype,
+        block_rows=min(block_rows, local_n),
+    )
+    # local slot -> global slot
+    shard_idx = lax.axis_index(SHARD_AXIS)
+    ids = ids + shard_idx * local_n
+    # gather the [Q, k] partials from every shard: [Q, S*k]
+    all_negd = lax.all_gather(negd, SHARD_AXIS, axis=1, tiled=True)
+    all_ids = lax.all_gather(ids, SHARD_AXIS, axis=1, tiled=True)
+    kk = min(k, all_negd.shape[1])
+    mneg, sel = lax.top_k(all_negd, kk)
+    mids = jnp.take_along_axis(all_ids, sel, axis=1)
+    return mneg, mids
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "metric", "compute_dtype", "block_rows"),
+)
+def sharded_scan_topk(
+    mesh: Mesh,
+    codes,
+    scale,
+    sqnorm,
+    valid,
+    queries,
+    *,
+    k: int,
+    metric: Metric = Metric.COSINE,
+    compute_dtype=jnp.bfloat16,
+    block_rows: int = 131_072,
+) -> Tuple[jax.Array, jax.Array]:
+    """Global top-k over a row-sharded corpus.
+
+    codes/scale/sqnorm/valid are sharded P(shard); queries are sharded
+    P(batch) over the query axis (replicated when the batch axis is 1).
+    Returns (scores [Q, k] on the 0-100 scale, global ids [Q, k]).
+    """
+    metric = Metric.parse(metric)
+    fn = jax.shard_map(
+        partial(
+            _local_scan_merge,
+            k=k, metric=metric, compute_dtype=compute_dtype,
+            block_rows=block_rows,
+        ),
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                  P(BATCH_AXIS)),
+        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+        check_vma=False,
+    )
+    negd, ids = fn(codes, scale, sqnorm, valid, queries)
+    score = jnp.where(jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric))
+    return score, ids
+
+
+class DistributedFlatIndex:
+    """A row-sharded immutable FLAT index for serving benchmarks and the
+    multi-chip path. Ingest quantizes + shards once (device_put with a
+    NamedSharding lays rows out round-robin contiguously per shard); search
+    runs the collective scan above. Mutable serving uses FlatStore with a
+    sharded placement; this class is the zero-copy bulk path."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        vectors: np.ndarray,
+        *,
+        metric: Metric = Metric.COSINE,
+        quantization: Quantization = Quantization.NONE,
+        compute_dtype=None,
+    ):
+        self.mesh = mesh
+        self.metric = Metric.parse(metric)
+        self.quantization = Quantization.parse(quantization)
+        if compute_dtype is None:
+            compute_dtype = (
+                jnp.float32 if self.quantization == Quantization.NONE
+                else jnp.bfloat16
+            )
+        self.compute_dtype = compute_dtype
+
+        n_shards = mesh.shape[SHARD_AXIS]
+        n, dim = vectors.shape
+        vectors = jnp.asarray(vectors, jnp.float32)  # host or device input
+        pad = (-n) % n_shards
+        if pad:
+            vectors = jnp.concatenate(
+                [vectors, jnp.zeros((pad, dim), jnp.float32)], axis=0
+            )
+        self.n = n
+        self.dim = dim
+
+        codes, scale = quantize(vectors, self.quantization)
+        codes = codes.astype(storage_dtype(self.quantization))
+        deq = dequantize(codes, scale)
+        sqnorm = jnp.sum(deq * deq, axis=1)
+        valid = jnp.arange(vectors.shape[0]) < n
+
+        spec = NamedSharding(mesh, P(SHARD_AXIS))
+        self.codes = jax.device_put(codes, spec)
+        self.scale = jax.device_put(scale, spec)
+        self.sqnorm = jax.device_put(sqnorm, spec)
+        self.valid = jax.device_put(valid, spec)
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        batch = self.mesh.shape[BATCH_AXIS]
+        q = queries.shape[0]
+        pad = (-q) % batch
+        if pad:
+            queries = np.concatenate(
+                [queries, np.zeros((pad, self.dim), np.float32)], axis=0
+            )
+        qspec = NamedSharding(self.mesh, P(BATCH_AXIS))
+        jq = jax.device_put(jnp.asarray(queries), qspec)
+        scores, ids = sharded_scan_topk(
+            self.mesh, self.codes, self.scale, self.sqnorm, self.valid, jq,
+            k=k, metric=self.metric, compute_dtype=self.compute_dtype,
+        )
+        scores, ids = np.asarray(scores)[:q], np.asarray(ids)[:q]
+        ids = np.where(np.isneginf(scores), -1, ids)
+        return scores, ids

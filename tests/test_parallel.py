@@ -1,0 +1,109 @@
+"""Distributed search tests on the virtual 8-device CPU mesh.
+
+The distributed-equivalence tests the reference never had (SURVEY.md §4
+takeaway): sharded results must equal single-device results exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coltt_tpu.ops.distance import Metric
+from coltt_tpu.ops.quant import Quantization
+from coltt_tpu.ops.topk import scan_topk
+from coltt_tpu.parallel.dist_search import DistributedFlatIndex, sharded_scan_topk
+from coltt_tpu.parallel.mesh import make_mesh, shard_spec
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    n, d = 4096, 64
+    vecs = rng.standard_normal((n, d), dtype=np.float32)
+    qs = rng.standard_normal((8, d), dtype=np.float32)
+    return vecs, qs
+
+
+def test_mesh_shapes():
+    m = make_mesh()
+    assert m.shape["shard"] == 8 and m.shape["batch"] == 1
+    m = make_mesh(batch=2)
+    assert m.shape["shard"] == 4 and m.shape["batch"] == 2
+    with pytest.raises(ValueError):
+        make_mesh(num_shards=16, batch=2)
+
+
+@pytest.mark.parametrize("metric", [Metric.COSINE, Metric.EUCLIDEAN])
+def test_sharded_equals_single_device(data, metric):
+    vecs, qs = data
+    mesh = make_mesh()
+    idx = DistributedFlatIndex(mesh, vecs, metric=metric)
+    ds, di = idx.search(qs, k=10)
+
+    sqn = jnp.sum(jnp.asarray(vecs) ** 2, axis=1)
+    ss, si = scan_topk(
+        qs, jnp.asarray(vecs), None, sqn, jnp.ones(len(vecs), bool),
+        k=10, metric=metric, compute_dtype=jnp.float32,
+    )
+    ss, si = np.asarray(ss), np.asarray(si)
+    np.testing.assert_allclose(ds, ss, rtol=1e-5, atol=1e-5)
+    # ids equal where scores are strictly ordered (ties may swap)
+    for qi in range(len(qs)):
+        assert set(di[qi]) == set(si[qi]) or np.allclose(
+            np.sort(ds[qi]), np.sort(ss[qi]), atol=1e-5
+        )
+
+
+def test_sharded_with_batch_axis(data):
+    vecs, qs = data
+    mesh = make_mesh(batch=2)  # 4 shards x 2 query groups
+    idx = DistributedFlatIndex(mesh, vecs)
+    ds, di = idx.search(qs, k=5)
+    mesh1 = make_mesh()
+    idx1 = DistributedFlatIndex(mesh1, vecs)
+    d1, i1 = idx1.search(qs, k=5)
+    np.testing.assert_allclose(ds, d1, rtol=1e-5, atol=1e-5)
+
+
+def test_unpadded_row_count(data):
+    vecs, qs = data
+    mesh = make_mesh()
+    # 4097 rows does not divide 8 -> padding row must never be returned
+    vecs_odd = np.concatenate([vecs, vecs[:1] * 100.0])
+    idx = DistributedFlatIndex(mesh, vecs_odd)
+    ds, di = idx.search(qs, k=10)
+    assert (di < len(vecs_odd)).all()
+    assert (di >= 0).all()
+
+
+def test_quantized_sharded(data):
+    vecs, qs = data
+    mesh = make_mesh()
+    idx = DistributedFlatIndex(mesh, vecs, quantization=Quantization.F8)
+    ds, di = idx.search(qs[:2], k=10)
+    idxf = DistributedFlatIndex(mesh, vecs, quantization=Quantization.NONE)
+    dsf, dif = idxf.search(qs[:2], k=10)
+    # f8 recall@10 vs fp32 should be high even on random data
+    recall = np.mean([len(set(di[i]) & set(dif[i])) / 10 for i in range(2)])
+    assert recall >= 0.8
+
+
+def test_odd_query_batch_padding(data):
+    vecs, qs = data
+    mesh = make_mesh(batch=2)
+    idx = DistributedFlatIndex(mesh, vecs)
+    ds, di = idx.search(qs[:3], k=4)  # 3 does not divide batch=2
+    assert ds.shape == (3, 4) and di.shape == (3, 4)
+
+
+def test_sharded_store_placement(data):
+    """FlatStore accepts a sharded placement and still searches correctly."""
+    from coltt_tpu.store.flat import FlatStore
+
+    vecs, qs = data
+    mesh = make_mesh()
+    store = FlatStore(64, sharding=shard_spec(mesh), base_capacity=8192)
+    store.upsert_many([f"p{i}" for i in range(256)], vecs[:256])
+    scores, slots = store.search(vecs[17], k=1)
+    assert store.slot_to_pk[int(slots[0, 0])] == "p17"
