@@ -28,8 +28,25 @@ from coltt_tpu.ops.score import normalize_score
 # tile comfortably inside VMEM-friendly working sets while saturating the MXU.
 DEFAULT_BLOCK_ROWS = 131_072
 
+# [Q, N] f32 score budget before the scan switches to blocked mode. One big
+# fused matmul + top_k beats lax.map-serialized blocks by a wide margin on
+# TPU (the map body launches sequentially); block only to bound HBM.
+SCORES_BYTES_BUDGET = 2 << 30
 
-def _block_count(n: int, block: int) -> int:
+_ALIGN = 8192  # stores grow capacity in these quanta
+
+
+def _block_count(n: int, block, q: int) -> int:
+    """Blocks to split the row axis into. ``block=None`` = auto by memory."""
+    if block is None:
+        if q * n * 4 <= SCORES_BYTES_BUDGET or n % _ALIGN != 0:
+            return 1
+        need = -(-(q * n * 4) // SCORES_BYTES_BUDGET)
+        units = n // _ALIGN
+        blocks = need
+        while blocks <= units and units % blocks != 0:
+            blocks += 1
+        return blocks if blocks <= units else 1
     if n <= block or n % block != 0:
         return 1
     return n // block
@@ -45,7 +62,7 @@ def scan_neg_topk(
     k: int,
     metric: Metric = Metric.COSINE,
     compute_dtype=jnp.bfloat16,
-    block_rows: int = DEFAULT_BLOCK_ROWS,
+    block_rows=None,
 ):
     """Top-k scan returning raw ranking values ``(negdist [Q,k], ids [Q,k])``.
 
@@ -58,7 +75,7 @@ def scan_neg_topk(
     metric = Metric.parse(metric)
     queries = jnp.asarray(queries, jnp.float32)
     n = codes.shape[0]
-    blocks = _block_count(n, block_rows)
+    blocks = _block_count(n, block_rows, queries.shape[0])
     kk = min(k, n)
 
     if blocks == 1:
@@ -109,7 +126,7 @@ def scan_topk(
     k: int,
     metric: Metric = Metric.COSINE,
     compute_dtype=jnp.bfloat16,
-    block_rows: int = DEFAULT_BLOCK_ROWS,
+    block_rows=None,
 ):
     """Top-k scan over the full store.
 

@@ -34,13 +34,13 @@ from coltt_tpu.parallel.mesh import BATCH_AXIS, SHARD_AXIS
 
 
 def _local_scan_merge(codes, scale, sqnorm, valid, queries, *, k, metric,
-                      compute_dtype, block_rows):
+                      compute_dtype, block_rows=None):
     """Per-device body under shard_map: local scan -> global merge."""
     local_n = codes.shape[0]
     negd, ids = scan_neg_topk(
         queries, codes, scale, sqnorm, valid,
         k=k, metric=metric, compute_dtype=compute_dtype,
-        block_rows=min(block_rows, local_n),
+        block_rows=block_rows,
     )
     # local slot -> global slot
     shard_idx = lax.axis_index(SHARD_AXIS)
@@ -69,7 +69,7 @@ def sharded_scan_topk(
     k: int,
     metric: Metric = Metric.COSINE,
     compute_dtype=jnp.bfloat16,
-    block_rows: int = 131_072,
+    block_rows=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Global top-k over a row-sharded corpus.
 

@@ -42,7 +42,7 @@ import numpy as np
 
 from coltt_tpu.ops.distance import Metric
 from coltt_tpu.ops.quant import Quantization, dequantize, quantize, storage_dtype
-from coltt_tpu.ops.topk import DEFAULT_BLOCK_ROWS, scan_topk
+from coltt_tpu.ops.topk import scan_topk
 
 _CAPACITY_QUANTUM = 8192
 # candidate-count fraction below which the gather regime wins the masked scan
@@ -306,11 +306,10 @@ class FlatStore:
         else:
             valid = self.valid
 
-        block = min(DEFAULT_BLOCK_ROWS, self.capacity)
         scores, slots = scan_topk(
             jnp.asarray(queries), self.codes, self.scale, self.sqnorm, valid,
             k=min(k, self.capacity), metric=metric,
-            compute_dtype=self.compute_dtype, block_rows=block,
+            compute_dtype=self.compute_dtype,
         )
         return self._trim(np.asarray(scores), np.asarray(slots), k)
 
