@@ -1,0 +1,336 @@
+"""Product quantization: codebook training, encoding, ADC top-k search.
+
+Reference parity: the reference *reserved* PQ — ``Quantization_PQ`` in
+``idl/proto/v3/core.proto``, the second distance library ``pkg/distancepq``
+(``puredist.go:20-38`` squared-euclidean/dot, ``distance.go:87-97`` registry)
+and the legacy PQ parameter structs ``pkg/models/hnsw_common.go`` — but never
+shipped an implementation (SURVEY.md §7 phase 9). Its 2024.11 releases did
+ship an earlier PQ (HNSW+PQ, <14 ms @ 50k) that was later removed. This
+module is the TPU-native realization of that reserved path.
+
+TPU-native design. Classic CPU ADC builds a per-query LUT and gathers
+``M`` table entries per stored row — a scalar-gather loop that maps terribly
+onto the MXU. Here:
+
+- **Training** is batched Lloyd's iterations over *all* ``M`` subspaces at
+  once: assignment is one ``[M, S, dsub] x [M, K, dsub] -> [M, S, K]``
+  batched matmul (argmin over centroids), and the centroid update is the
+  transposed one-hot matmul ``[M, K, S] x [M, S, dsub]`` — both MXU work,
+  chunked over the sample axis to bound memory. No data-dependent Python;
+  one ``lax.scan`` over chunks inside a ``lax.fori_loop`` over iterations.
+- **Encoding** is the same batched assignment matmul, blocked over rows.
+- **Search** decompresses blocks *through the codebook gather* and feeds the
+  standard fused scan: reconstruct ``[B, D]`` in bf16 (a ``take_along_axis``
+  on the ``[K, M, dsub]`` table — B*M gathered subvectors), then the one
+  ``[Q, D] x [B, D] -> [Q, B]`` MXU contraction from ops.distance. For
+  dot-decomposable metrics this is *numerically identical* to LUT-ADC
+  (the reconstructed vector is exactly the concatenation of centroids), but
+  the arithmetic rides the systolic array instead of a gather per (row,
+  subspace, query). Stored-row norms are exact via the centroid-norm LUT:
+  ``||v_hat||^2 = sum_m ||c[m, code]||^2``.
+
+Codes are ``[N, M] uint8`` — with M = D/8 subspaces that is 8 bytes per
+96 float32s, a 32x-96x HBM footprint reduction over f8/none; PQ is what lets
+a 10M x 768d corpus live on one chip (BASELINE.json config #4).
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import msgpack
+import numpy as np
+from jax import lax
+
+from coltt_tpu.ops.distance import Metric, scan_distances
+
+_CODEBOOK_MAGIC = b"CTTPQCB1"
+
+# sample rows per Lloyd chunk: [M, CHUNK, K] f32 transient stays ~0.4 GB at
+# M=96, K=256
+_TRAIN_CHUNK = 4096
+# rows per encode block (same transient bound)
+_ENCODE_BLOCK = 4096
+# rows per search block: the reconstructed [B, D] bf16 tile (~200 MB at 768d)
+_SEARCH_BLOCK = 131_072
+
+
+def default_subspaces(dim: int, target_dsub: int = 8) -> int:
+    """Largest M <= dim/target_dsub that divides dim (dsub >= 2)."""
+    m = max(1, dim // target_dsub)
+    while m > 1 and dim % m != 0:
+        m -= 1
+    return m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PQCodebook:
+    """Trained product-quantization codebook.
+
+    centroids: ``[M, K, dsub] float32`` — K centroids per subspace.
+    """
+
+    centroids: jax.Array
+
+    def tree_flatten(self):
+        return (self.centroids,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    @property
+    def m(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def n_centroids(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def dsub(self) -> int:
+        return self.centroids.shape[2]
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.dsub
+
+    @property
+    def centroid_sqnorm(self) -> jax.Array:
+        """``[M, K]`` squared norms of each centroid (the norm LUT)."""
+        return jnp.sum(self.centroids * self.centroids, axis=-1)
+
+    # -- persistence --------------------------------------------------------
+    def save(self, f: io.BufferedIOBase) -> None:
+        cents = np.asarray(jax.device_get(self.centroids), np.float32)
+        header = {"m": int(cents.shape[0]), "k": int(cents.shape[1]),
+                  "dsub": int(cents.shape[2])}
+        hb = msgpack.packb(header, use_bin_type=True)
+        f.write(_CODEBOOK_MAGIC)
+        f.write(len(hb).to_bytes(8, "big"))
+        f.write(hb)
+        f.write(cents.tobytes())
+
+    @classmethod
+    def load(cls, f: io.BufferedIOBase) -> "PQCodebook":
+        magic = f.read(len(_CODEBOOK_MAGIC))
+        if magic != _CODEBOOK_MAGIC:
+            raise ValueError("not a PQ codebook snapshot")
+        hlen = int.from_bytes(f.read(8), "big")
+        h = msgpack.unpackb(f.read(hlen), raw=False)
+        m, k, dsub = h["m"], h["k"], h["dsub"]
+        cents = np.frombuffer(f.read(m * k * dsub * 4), np.float32)
+        return cls(jnp.asarray(cents.reshape(m, k, dsub)))
+
+
+def _sub_assign(x_sub, centroids, csq):
+    """Nearest centroid per (row, subspace).
+
+    x_sub ``[M, C, dsub]``, centroids ``[M, K, dsub]`` -> ``[M, C] int32``.
+    Squared L2 argmin drops the ||x||^2 term (constant in k).
+    """
+    dots = lax.dot_general(
+        x_sub, centroids,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [M, C, K]
+    return jnp.argmin(csq[:, None, :] - 2.0 * dots, axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_centroids", "iters", "chunk"))
+def _lloyd(x_sub, init, *, n_centroids: int, iters: int, chunk: int):
+    """Batched Lloyd's over all subspaces. x_sub: [M, S, dsub], S % chunk == 0."""
+    m, s, dsub = x_sub.shape
+    xc = jnp.moveaxis(
+        x_sub.reshape(m, s // chunk, chunk, dsub), 1, 0
+    )  # [nchunk, M, chunk, dsub]
+
+    def iteration(_, cents):
+        csq = jnp.sum(cents * cents, axis=-1)
+
+        def chunk_body(carry, xb):  # xb [M, chunk, dsub]
+            sums, counts = carry
+            assign = _sub_assign(xb, cents, csq)  # [M, chunk]
+            oh = jax.nn.one_hot(assign, n_centroids, dtype=jnp.float32)
+            sums = sums + lax.dot_general(
+                oh, xb,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [M, K, dsub]
+            counts = counts + jnp.sum(oh, axis=1)  # [M, K]
+            return (sums, counts), None
+
+        zero_s = jnp.zeros((m, n_centroids, dsub), jnp.float32)
+        zero_c = jnp.zeros((m, n_centroids), jnp.float32)
+        (sums, counts), _ = lax.scan(chunk_body, (zero_s, zero_c), xc)
+        new = sums / jnp.maximum(counts, 1.0)[..., None]
+        # empty clusters keep their previous centroid
+        return jnp.where((counts > 0)[..., None], new, cents)
+
+    return lax.fori_loop(0, iters, iteration, init)
+
+
+def train_pq(
+    vectors,
+    *,
+    m: Optional[int] = None,
+    n_centroids: int = 256,
+    iters: int = 15,
+    sample_size: int = 65_536,
+    key: Optional[jax.Array] = None,
+) -> PQCodebook:
+    """Train a PQ codebook on (a sample of) ``vectors [N, D] float32``."""
+    x = jnp.asarray(vectors, jnp.float32)
+    n, dim = x.shape
+    if m is None:
+        m = default_subspaces(dim)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    if n_centroids > 256:
+        raise ValueError("n_centroids > 256 does not fit uint8 codes")
+    dsub = dim // m
+    key = jax.random.PRNGKey(0) if key is None else key
+
+    s = min(n, sample_size)
+    s = max(_TRAIN_CHUNK, (s // _TRAIN_CHUNK) * _TRAIN_CHUNK) if s >= _TRAIN_CHUNK else s
+    kperm, kinit = jax.random.split(key)
+    if s < n:
+        rows = jax.random.choice(kperm, n, (s,), replace=False)
+        sample = jnp.take(x, rows, axis=0)
+    else:
+        sample = x
+    x_sub = jnp.moveaxis(sample.reshape(s, m, dsub), 0, 1)  # [M, S, dsub]
+
+    k = min(n_centroids, s)
+    init_rows = jax.random.choice(kinit, s, (k,), replace=False)
+    init = jnp.take(x_sub, init_rows, axis=1)  # [M, K, dsub]
+
+    chunk = min(_TRAIN_CHUNK, s)
+    if s % chunk != 0:
+        chunk = s  # small samples: single chunk
+    cents = _lloyd(x_sub, init, n_centroids=k, iters=iters, chunk=chunk)
+    if k < n_centroids:  # pad so codes stay uint8-dense and shapes static
+        pad = jnp.repeat(cents[:, :1], n_centroids - k, axis=1)
+        cents = jnp.concatenate([cents, pad], axis=1)
+    return PQCodebook(cents)
+
+
+@jax.jit
+def _encode_block(x, centroids, csq):
+    """[B, D] -> [B, M] int32 nearest-centroid codes."""
+    b, dim = x.shape
+    m, _, dsub = centroids.shape
+    x_sub = jnp.moveaxis(x.reshape(b, m, dsub), 0, 1)  # [M, B, dsub]
+    return _sub_assign(x_sub, centroids, csq).T  # [B, M]
+
+
+def pq_encode(vectors, codebook: PQCodebook) -> Tuple[jax.Array, jax.Array]:
+    """Encode ``[N, D]`` -> ``(codes [N, M] uint8, sqnorm [N] f32)``.
+
+    ``sqnorm`` is the exact squared norm of the *reconstruction* (the value
+    the fused scan needs), via the centroid-norm LUT.
+    """
+    x = jnp.asarray(vectors, jnp.float32)
+    n = x.shape[0]
+    csq = codebook.centroid_sqnorm
+    outs = []
+    for start in range(0, n, _ENCODE_BLOCK):
+        outs.append(_encode_block(x[start:start + _ENCODE_BLOCK],
+                                  codebook.centroids, csq))
+    codes = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    sqnorm = jnp.sum(jnp.take_along_axis(csq.T, codes, axis=0), axis=1)
+    return codes.astype(jnp.uint8), sqnorm
+
+
+def pq_reconstruct(codes, codebook: PQCodebook) -> jax.Array:
+    """Decode ``[N, M] uint8`` -> ``[N, D] float32`` (centroid concatenation)."""
+    return _reconstruct(codes, codebook.centroids, jnp.float32)
+
+
+def _reconstruct(codes, centroids, dtype):
+    n, m = codes.shape
+    _, _, dsub = centroids.shape
+    table = jnp.moveaxis(centroids, 0, 1).astype(dtype)  # [K, M, dsub]
+    rec = jnp.take_along_axis(
+        table, codes.astype(jnp.int32)[..., None], axis=0
+    )  # [N, M, dsub]
+    return rec.reshape(n, m * dsub)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "metric", "compute_dtype", "block_rows"),
+)
+def pq_scan_neg_topk(
+    queries,
+    codes,
+    centroids,
+    sqnorm,
+    valid,
+    *,
+    k: int,
+    metric: Metric = Metric.COSINE,
+    compute_dtype=jnp.bfloat16,
+    block_rows: int = _SEARCH_BLOCK,
+):
+    """ADC top-k over PQ codes: ``(negdist [Q,k], ids [Q,k])``.
+
+    Blocks the row axis; each block is reconstructed through the codebook
+    gather in ``compute_dtype`` and scanned with the shared fused
+    matmul+epilogue, then block-local top-k partials merge — the same
+    local-heap-then-merge shape as ops.topk.scan_neg_topk.
+    """
+    metric = Metric.parse(metric)
+    queries = jnp.asarray(queries, jnp.float32)
+    n = codes.shape[0]
+    kk = min(k, n)
+    block = block_rows if (n > block_rows and n % block_rows == 0) else n
+
+    def scan_block(c_blk, sq_blk, v_blk):
+        rec = _reconstruct(c_blk, centroids, compute_dtype)
+        return scan_distances(
+            queries, rec, None, sq_blk, v_blk,
+            metric=metric, compute_dtype=compute_dtype,
+        )
+
+    if block == n:
+        negd, idx = lax.top_k(-scan_block(codes, sqnorm, valid), kk)
+        return negd, idx.astype(jnp.int32)
+
+    blocks = n // block
+    kb = min(kk, block)
+
+    def body(i):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, i * block, block, axis=0)
+        dist = scan_block(sl(codes), sl(sqnorm), sl(valid))
+        vals, idx = lax.top_k(-dist, kb)
+        return vals, (idx + i * block).astype(jnp.int32)
+
+    vals, ids = lax.map(body, jnp.arange(blocks))
+    q = queries.shape[0]
+    vals = jnp.moveaxis(vals, 0, 1).reshape(q, blocks * kb)
+    ids = jnp.moveaxis(ids, 0, 1).reshape(q, blocks * kb)
+    negd, midx = lax.top_k(vals, kk)
+    return negd, jnp.take_along_axis(ids, midx, axis=1).astype(jnp.int32)
+
+
+def pq_scan_topk(
+    queries, codes, codebook: PQCodebook, sqnorm, valid, *,
+    k: int, metric: Metric = Metric.COSINE, compute_dtype=jnp.bfloat16,
+):
+    """Top-k PQ scan with 0-100 normalized scores (scan_topk parity)."""
+    from coltt_tpu.ops.score import normalize_score
+
+    metric = Metric.parse(metric)
+    negd, idx = pq_scan_neg_topk(
+        queries, codes, codebook.centroids, sqnorm, valid,
+        k=k, metric=metric, compute_dtype=compute_dtype,
+    )
+    score = jnp.where(jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric))
+    return score, idx

@@ -41,6 +41,14 @@ import msgpack
 import numpy as np
 
 from coltt_tpu.ops.distance import Metric
+from coltt_tpu.ops.pq import (
+    PQCodebook,
+    default_subspaces,
+    pq_encode,
+    pq_reconstruct,
+    pq_scan_topk,
+    train_pq,
+)
 from coltt_tpu.ops.quant import Quantization, dequantize, quantize, storage_dtype
 from coltt_tpu.ops.topk import scan_topk
 
@@ -91,6 +99,19 @@ def _gather_search(codes, scale, sqnorm, valid, cand, cand_valid, queries, *, k,
     return scores, jnp.take(cand, local)
 
 
+@partial(jax.jit, static_argnames=("k", "metric", "compute_dtype"))
+def _gather_search_pq(codes, centroids, sqnorm, valid, cand, cand_valid, queries, *, k, metric, compute_dtype):
+    """PQ variant of the gather regime: gather code rows, ADC-scan the tile."""
+    g_codes = jnp.take(codes, cand, axis=0)
+    g_sqnorm = jnp.take(sqnorm, cand, axis=0)
+    g_valid = jnp.take(valid, cand, axis=0) & cand_valid
+    scores, local = pq_scan_topk(
+        queries, g_codes, PQCodebook(centroids), g_sqnorm, g_valid,
+        k=k, metric=metric, compute_dtype=compute_dtype,
+    )
+    return scores, jnp.take(cand, local)
+
+
 class FlatStore:
     """Quantized FLAT store over dense slots. Host object orchestrating
     jitted device functions; all device state is replaced functionally."""
@@ -104,11 +125,31 @@ class FlatStore:
         compute_dtype=None,
         base_capacity: int = _CAPACITY_QUANTUM,
         sharding: Optional[jax.sharding.Sharding] = None,
+        pq_subspaces: Optional[int] = None,
+        pq_centroids: int = 256,
+        pq_train_iters: int = 15,
     ):
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.quantization = Quantization.parse(quantization)
-        self._qdtype = storage_dtype(self.quantization)
+        self.is_pq = self.quantization == Quantization.PQ
+        if self.is_pq:
+            # PQ path (the reference's reserved Quantization_PQ; ops.pq):
+            # codes are [cap, M] uint8 nearest-centroid ids, the codebook is
+            # trained lazily on the first synced batch.
+            self._qdtype = jnp.uint8
+            self.pq_m = int(pq_subspaces or default_subspaces(self.dim))
+            if self.dim % self.pq_m != 0:
+                raise ValueError(
+                    f"dim {self.dim} not divisible by pq_subspaces={self.pq_m}"
+                )
+            self.pq_centroids = int(pq_centroids)
+            self.pq_train_iters = int(pq_train_iters)
+            self.codebook: Optional[PQCodebook] = None
+            self._row_width = self.pq_m
+        else:
+            self._qdtype = storage_dtype(self.quantization)
+            self._row_width = self.dim
         # "arithmetic in fp32" parity: unquantized stores scan at full f32
         # precision; quantized stores scan in bf16 (their codes carry less
         # information than bf16 anyway, so the MXU fast path is free).
@@ -132,7 +173,7 @@ class FlatStore:
 
     # -- device state ------------------------------------------------------
     def _alloc(self, cap: int) -> None:
-        self.codes = self._put(jnp.zeros((cap, self.dim), self._qdtype))
+        self.codes = self._put(jnp.zeros((cap, self._row_width), self._qdtype))
         self.scale = self._put(jnp.ones((cap, 1), jnp.float32))
         self.sqnorm = self._put(jnp.zeros((cap,), jnp.float32))
         self.valid = self._put(jnp.zeros((cap,), jnp.bool_))
@@ -145,7 +186,9 @@ class FlatStore:
         new_cap = _round_capacity(need)
         pad = new_cap - self.capacity
         self.codes = self._put(
-            jnp.concatenate([self.codes, jnp.zeros((pad, self.dim), self._qdtype)])
+            jnp.concatenate(
+                [self.codes, jnp.zeros((pad, self._row_width), self._qdtype)]
+            )
         )
         self.scale = self._put(
             jnp.concatenate([self.scale, jnp.ones((pad, 1), jnp.float32)])
@@ -239,10 +282,27 @@ class FlatStore:
             rows = np.concatenate([rows, np.repeat(rows[:1], padded - n, axis=0)])
             alive = np.concatenate([alive, np.full(padded - n, alive[0])])
 
-        u_codes, u_scale = quantize(jnp.asarray(rows), self.quantization)
-        u_codes = u_codes.astype(self._qdtype)
-        deq = dequantize(u_codes, u_scale)
-        u_sqnorm = jnp.sum(deq * deq, axis=1)
+        if self.is_pq:
+            if self.codebook is None and alive.any():
+                # lazy train on the first synced batch (documented PQ
+                # contract: the first ingest is the training sample)
+                self.codebook = train_pq(
+                    jnp.asarray(rows[alive]),
+                    m=self.pq_m,
+                    n_centroids=self.pq_centroids,
+                    iters=self.pq_train_iters,
+                )
+            if self.codebook is None:  # all-deletes batch before any data
+                u_codes = jnp.zeros((len(slots), self.pq_m), jnp.uint8)
+                u_sqnorm = jnp.zeros((len(slots),), jnp.float32)
+            else:
+                u_codes, u_sqnorm = pq_encode(jnp.asarray(rows), self.codebook)
+            u_scale = jnp.ones((len(slots), 1), jnp.float32)
+        else:
+            u_codes, u_scale = quantize(jnp.asarray(rows), self.quantization)
+            u_codes = u_codes.astype(self._qdtype)
+            deq = dequantize(u_codes, u_scale)
+            u_sqnorm = jnp.sum(deq * deq, axis=1)
         self.codes, self.scale, self.sqnorm, self.valid = _apply_updates(
             self.codes, self.scale, self.sqnorm, self.valid,
             jnp.asarray(slots), u_codes, u_scale, u_sqnorm, jnp.asarray(alive),
@@ -255,7 +315,7 @@ class FlatStore:
     @property
     def memory_bytes(self) -> int:
         per_row = (
-            self.dim * jnp.dtype(self._qdtype).itemsize + 4 + 4 + 1
+            self._row_width * jnp.dtype(self._qdtype).itemsize + 4 + 4 + 1
         )
         return self.capacity * per_row
 
@@ -267,6 +327,13 @@ class FlatStore:
         if pend is not None:
             return pend.copy()
         self.sync()
+        if self.is_pq:
+            if self.codebook is None:
+                return None
+            return np.asarray(
+                jax.device_get(pq_reconstruct(self.codes[slot : slot + 1],
+                                              self.codebook))
+            )[0]
         row = jax.device_get(self.codes[slot]).astype(np.float32)
         return row * float(jax.device_get(self.scale[slot])[0])
 
@@ -306,11 +373,24 @@ class FlatStore:
         else:
             valid = self.valid
 
-        scores, slots = scan_topk(
-            jnp.asarray(queries), self.codes, self.scale, self.sqnorm, valid,
-            k=min(k, self.capacity), metric=metric,
-            compute_dtype=self.compute_dtype,
-        )
+        if self.is_pq:
+            if self.codebook is None:  # nothing ever synced
+                q = queries.shape[0]
+                return (
+                    np.full((q, k), -np.inf, np.float32),
+                    np.full((q, k), -1, np.int32),
+                )
+            scores, slots = pq_scan_topk(
+                jnp.asarray(queries), self.codes, self.codebook, self.sqnorm,
+                valid, k=min(k, self.capacity), metric=metric,
+                compute_dtype=self.compute_dtype,
+            )
+        else:
+            scores, slots = scan_topk(
+                jnp.asarray(queries), self.codes, self.scale, self.sqnorm, valid,
+                k=min(k, self.capacity), metric=metric,
+                compute_dtype=self.compute_dtype,
+            )
         return self._trim(np.asarray(scores), np.asarray(slots), k)
 
     def _search_gathered(self, queries, candidates, k, metric):
@@ -320,11 +400,24 @@ class FlatStore:
         cand[:n] = candidates
         cand_valid = np.zeros(padded, bool)
         cand_valid[:n] = True
-        scores, slots = _gather_search(
-            self.codes, self.scale, self.sqnorm, self.valid,
-            jnp.asarray(cand), jnp.asarray(cand_valid), jnp.asarray(queries),
-            k=min(k, padded), metric=metric, compute_dtype=self.compute_dtype,
-        )
+        if self.is_pq:
+            if self.codebook is None:
+                q = np.atleast_2d(queries).shape[0]
+                return (
+                    np.full((q, k), -np.inf, np.float32),
+                    np.full((q, k), -1, np.int32),
+                )
+            scores, slots = _gather_search_pq(
+                self.codes, self.codebook.centroids, self.sqnorm, self.valid,
+                jnp.asarray(cand), jnp.asarray(cand_valid), jnp.asarray(queries),
+                k=min(k, padded), metric=metric, compute_dtype=self.compute_dtype,
+            )
+        else:
+            scores, slots = _gather_search(
+                self.codes, self.scale, self.sqnorm, self.valid,
+                jnp.asarray(cand), jnp.asarray(cand_valid), jnp.asarray(queries),
+                k=min(k, padded), metric=metric, compute_dtype=self.compute_dtype,
+            )
         return self._trim(np.asarray(scores), np.asarray(slots), k)
 
     @staticmethod
@@ -357,6 +450,16 @@ class FlatStore:
             "free": self._free,
             "pks": [[pk, slot] for pk, slot in self.pk_to_slot.items()],
         }
+        if self.is_pq:
+            cb = io.BytesIO()
+            if self.codebook is not None:
+                self.codebook.save(cb)
+            header["pq"] = {
+                "m": self.pq_m,
+                "centroids": self.pq_centroids,
+                "train_iters": self.pq_train_iters,
+                "codebook": cb.getvalue(),
+            }
         hb = msgpack.packb(header, use_bin_type=True)
         f.write(_SNAPSHOT_MAGIC)
         f.write(len(hb).to_bytes(8, "big"))
@@ -373,16 +476,25 @@ class FlatStore:
             raise ValueError("not a FlatStore snapshot")
         hlen = int.from_bytes(f.read(8), "big")
         header = msgpack.unpackb(f.read(hlen), raw=False)
+        pq = header.get("pq")
         store = cls(
             header["dim"],
             metric=Metric.parse(header["metric"]),
             quantization=Quantization.parse(header["quantization"]),
             base_capacity=header["capacity"],
             sharding=sharding,
+            pq_subspaces=pq["m"] if pq else None,
+            pq_centroids=pq["centroids"] if pq else 256,
+            pq_train_iters=pq["train_iters"] if pq else 15,
         )
-        cap, dim = header["capacity"], header["dim"]
+        if pq and pq["codebook"]:
+            store.codebook = PQCodebook.load(io.BytesIO(pq["codebook"]))
+        cap = header["capacity"]
+        width = store._row_width
         qdt = np.dtype(store._qdtype)
-        codes = np.frombuffer(f.read(cap * dim * qdt.itemsize), qdt).reshape(cap, dim)
+        codes = np.frombuffer(f.read(cap * width * qdt.itemsize), qdt).reshape(
+            cap, width
+        )
         scale = np.frombuffer(f.read(cap * 4), np.float32).reshape(cap, 1)
         sqnorm = np.frombuffer(f.read(cap * 4), np.float32)
         valid = np.frombuffer(f.read(cap), np.bool_)

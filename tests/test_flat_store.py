@@ -134,3 +134,76 @@ def test_get_vector_roundtrip(rng):
     store.upsert("x", v)
     np.testing.assert_allclose(store.get_vector("x"), v, atol=1e-6)
     assert store.get_vector("nope") is None
+
+
+# -- PQ-quantized store ------------------------------------------------------
+
+def _mk_pq(rng, n=600, dim=32):
+    store = FlatStore(
+        dim, metric=Metric.COSINE, quantization=Quantization.PQ,
+        pq_subspaces=8, pq_centroids=64, pq_train_iters=8,
+    )
+    centers = rng.standard_normal((16, dim)).astype(np.float32)
+    vecs = (
+        centers[rng.integers(0, 16, n)]
+        + 0.1 * rng.standard_normal((n, dim)).astype(np.float32)
+    )
+    store.upsert_many([f"pk{i}" for i in range(n)], vecs)
+    return store, vecs
+
+
+def test_pq_store_trains_and_searches(rng):
+    store, vecs = _mk_pq(rng)
+    scores, slots = store.search(vecs[5], k=10)
+    assert store.codebook is not None
+    assert store.codes.shape[1] == 8  # M subspaces, not dim
+    # shortlist property: true row in PQ top-10 on clustered data
+    assert store.pk_to_slot["pk5"] in set(slots[0].tolist())
+
+
+def test_pq_store_upsert_after_training(rng):
+    store, vecs = _mk_pq(rng)
+    store.search(vecs[0], k=1)  # force sync+train
+    new = vecs[7] + 0.01
+    store.upsert("new", new)
+    # PQ codes tie within a cluster; the new row must land in the
+    # cluster-sized shortlist (exact rank among ties is arbitrary)
+    scores, slots = store.search(new, k=64)
+    assert store.pk_to_slot["new"] in set(slots[0].tolist())
+
+
+def test_pq_store_delete_and_filtered(rng):
+    store, vecs = _mk_pq(rng)
+    store.delete("pk5")
+    scores, slots = store.search(vecs[5], k=10)
+    assert -1 not in slots[0][:1]  # still returns hits
+    assert store.pk_to_slot.get("pk5") is None
+    # filtered gather path
+    cands = np.array(
+        [store.pk_to_slot[f"pk{i}"] for i in range(10, 40)], np.int32
+    )
+    scores, slots = store.search(vecs[12], k=5, candidates=cands)
+    assert set(slots[0].tolist()) <= set(cands.tolist())
+
+
+def test_pq_snapshot_roundtrip(rng):
+    store, vecs = _mk_pq(rng)
+    s1, i1 = store.search(vecs[3], k=5)
+    buf = io.BytesIO()
+    store.save(buf)
+    buf.seek(0)
+    loaded = FlatStore.load(buf)
+    assert loaded.is_pq and loaded.codebook is not None
+    s2, i2 = loaded.search(vecs[3], k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+
+
+def test_pq_get_vector_is_reconstruction(rng):
+    store, vecs = _mk_pq(rng)
+    got = store.get_vector("pk9")
+    # reconstruction, not exact: close on clustered data
+    cos = np.dot(got, vecs[9]) / (
+        np.linalg.norm(got) * np.linalg.norm(vecs[9])
+    )
+    assert cos > 0.9

@@ -1,0 +1,148 @@
+"""Product quantization: training convergence, encode fidelity, ADC recall.
+
+The reference reserved PQ (proto enum + pkg/distancepq) without shipping it
+(SURVEY.md §7 phase 9), so the contracts here are ours: reconstruction error
+must shrink vs a random codebook, codebook save/load must be bit-exact, and
+ADC top-k recall@10 on clustered data must stay high vs the fp32 scan.
+"""
+
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coltt_tpu.ops.distance import Metric
+from coltt_tpu.ops.pq import (
+    PQCodebook,
+    default_subspaces,
+    pq_encode,
+    pq_reconstruct,
+    pq_scan_topk,
+    train_pq,
+)
+from coltt_tpu.ops.topk import scan_topk
+
+
+def _clustered(rng, n, dim, n_clusters=32, spread=0.15):
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
+    return (
+        centers[assign] + spread * rng.standard_normal((n, dim)).astype(np.float32)
+    ).astype(np.float32)
+
+
+def test_default_subspaces():
+    assert default_subspaces(768) == 96
+    assert default_subspaces(128) == 16
+    assert 100 % default_subspaces(100) == 0
+
+
+def test_train_reduces_reconstruction_error(rng):
+    x = _clustered(rng, 4096, 64)
+    cb = train_pq(x, m=8, n_centroids=64, iters=10, key=jax.random.PRNGKey(1))
+    codes, _ = pq_encode(x, cb)
+    rec = np.asarray(pq_reconstruct(codes, cb))
+    err = np.mean(np.sum((rec - x) ** 2, axis=1))
+
+    # random codebook baseline: centroids drawn from the data distribution
+    rand = PQCodebook(
+        jnp.asarray(
+            rng.standard_normal((8, 64, 8)).astype(np.float32)
+        )
+    )
+    codes_r, _ = pq_encode(x, rand)
+    rec_r = np.asarray(pq_reconstruct(codes_r, rand))
+    err_r = np.mean(np.sum((rec_r - x) ** 2, axis=1))
+    assert err < 0.5 * err_r, f"trained {err} vs random {err_r}"
+
+
+def test_encode_sqnorm_matches_reconstruction(rng):
+    x = rng.standard_normal((512, 32)).astype(np.float32)
+    cb = train_pq(x, m=4, n_centroids=16, iters=5)
+    codes, sqnorm = pq_encode(x, cb)
+    assert codes.dtype == jnp.uint8
+    rec = np.asarray(pq_reconstruct(codes, cb))
+    np.testing.assert_allclose(
+        np.asarray(sqnorm), np.sum(rec * rec, axis=1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_codebook_roundtrip(rng):
+    x = rng.standard_normal((1024, 48)).astype(np.float32)
+    cb = train_pq(x, m=6, n_centroids=32, iters=3)
+    buf = io.BytesIO()
+    cb.save(buf)
+    buf.seek(0)
+    cb2 = PQCodebook.load(buf)
+    np.testing.assert_array_equal(
+        np.asarray(cb.centroids), np.asarray(cb2.centroids)
+    )
+    assert (cb2.m, cb2.n_centroids, cb2.dsub) == (6, 32, 8)
+
+
+@pytest.mark.parametrize("metric", [Metric.COSINE, Metric.EUCLIDEAN])
+def test_adc_shortlist_recall_on_clustered_data(metric, rng):
+    """Recall 10@100: the exact top-10 must live inside the PQ top-100
+    shortlist — the property ADC is used for in production (shortlist +
+    rerank). Direct recall@10 is inherently noisy for PQ because
+    within-cluster neighbors are near-equidistant."""
+    n, dim, k, shortlist = 8192, 64, 10, 100
+    x = _clustered(rng, n, dim)
+    q = _clustered(rng, 16, dim)
+    cb = train_pq(x, m=16, n_centroids=256, iters=12, key=jax.random.PRNGKey(2))
+    codes, sqnorm = pq_encode(x, cb)
+    valid = jnp.ones(n, bool)
+
+    _, i_pq = pq_scan_topk(
+        q, codes, cb, sqnorm, valid, k=shortlist, metric=metric,
+        compute_dtype=jnp.float32,
+    )
+    sq_exact = jnp.sum(jnp.asarray(x) ** 2, axis=1)
+    _, i_gt = scan_topk(
+        q, jnp.asarray(x), None, sq_exact, valid, k=k, metric=metric,
+        compute_dtype=jnp.float32,
+    )
+    i_pq, i_gt = np.asarray(i_pq), np.asarray(i_gt)
+    recall = np.mean(
+        [len(set(i_pq[i]) & set(i_gt[i])) / k for i in range(q.shape[0])]
+    )
+    assert recall >= 0.9, f"{metric.name} ADC recall {k}@{shortlist} = {recall}"
+
+
+def test_adc_respects_tombstones(rng):
+    n, dim = 1024, 32
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    cb = train_pq(x, m=4, n_centroids=64, iters=5)
+    codes, sqnorm = pq_encode(x, cb)
+    valid = np.ones(n, bool)
+    dead = rng.choice(n, 200, replace=False)
+    valid[dead] = False
+    _, ids = pq_scan_topk(
+        x[:8], codes, cb, sqnorm, jnp.asarray(valid), k=20,
+        metric=Metric.COSINE,
+    )
+    assert not (set(np.asarray(ids).ravel().tolist()) & set(dead.tolist()))
+
+
+def test_blocked_scan_matches_unblocked(rng):
+    from coltt_tpu.ops.pq import pq_scan_neg_topk
+
+    n, dim = 2048, 32
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+    cb = train_pq(x, m=8, n_centroids=32, iters=5)
+    codes, sqnorm = pq_encode(x, cb)
+    valid = jnp.ones(n, bool)
+    q = rng.standard_normal((4, dim)).astype(np.float32)
+
+    d1, i1 = pq_scan_neg_topk(
+        q, codes, cb.centroids, sqnorm, valid, k=5,
+        compute_dtype=jnp.float32, block_rows=n,
+    )
+    d2, i2 = pq_scan_neg_topk(
+        q, codes, cb.centroids, sqnorm, valid, k=5,
+        compute_dtype=jnp.float32, block_rows=512,
+    )
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
