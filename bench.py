@@ -22,7 +22,15 @@ def log(*a):
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: the 1M-row scan compiles in ~10 min cold on
+    # the remote-compile relay; cached it loads in seconds
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from coltt_tpu.ops.distance import Metric

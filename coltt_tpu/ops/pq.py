@@ -54,8 +54,9 @@ _CODEBOOK_MAGIC = b"CTTPQCB1"
 # sample rows per Lloyd chunk: [M, CHUNK, K] f32 transient stays ~0.4 GB at
 # M=96, K=256
 _TRAIN_CHUNK = 4096
-# rows per encode block (same transient bound)
-_ENCODE_BLOCK = 4096
+# rows per encode block: bounds the [M, B, K] f32 assignment transient
+# (~1.6 GB at M=96, K=256, B=16384) inside the single-dispatch lax.map
+_ENCODE_BLOCK = 16384
 # rows per search block: the reconstructed [B, D] bf16 tile (~200 MB at 768d)
 _SEARCH_BLOCK = 131_072
 
@@ -221,13 +222,23 @@ def train_pq(
     return PQCodebook(cents)
 
 
-@jax.jit
-def _encode_block(x, centroids, csq):
-    """[B, D] -> [B, M] int32 nearest-centroid codes."""
-    b, dim = x.shape
+@partial(jax.jit, static_argnames=("block",))
+def _encode_all(x, centroids, csq, *, block: int):
+    """[N, D] -> ([N, M] uint8, [N] f32). One dispatch: ``lax.map`` over
+    row blocks bounds the [M, B, K] assignment transient; N % block == 0."""
+    n, dim = x.shape
     m, _, dsub = centroids.shape
-    x_sub = jnp.moveaxis(x.reshape(b, m, dsub), 0, 1)  # [M, B, dsub]
-    return _sub_assign(x_sub, centroids, csq).T  # [B, M]
+
+    def body(xb):  # [B, D]
+        x_sub = jnp.moveaxis(xb.reshape(block, m, dsub), 0, 1)  # [M, B, dsub]
+        return _sub_assign(x_sub, centroids, csq).T  # [B, M]
+
+    if n == block:
+        codes = body(x)
+    else:
+        codes = lax.map(body, x.reshape(n // block, block, dim)).reshape(n, m)
+    sqnorm = jnp.sum(jnp.take_along_axis(csq.T, codes, axis=0), axis=1)
+    return codes.astype(jnp.uint8), sqnorm
 
 
 def pq_encode(vectors, codebook: PQCodebook) -> Tuple[jax.Array, jax.Array]:
@@ -238,14 +249,19 @@ def pq_encode(vectors, codebook: PQCodebook) -> Tuple[jax.Array, jax.Array]:
     """
     x = jnp.asarray(vectors, jnp.float32)
     n = x.shape[0]
+    block = _ENCODE_BLOCK if (n > _ENCODE_BLOCK and n % _ENCODE_BLOCK == 0) else n
+    codes, sqnorm = _encode_all(
+        x, codebook.centroids, codebook.centroid_sqnorm, block=block
+    )
+    return codes, sqnorm
+
+
+def pq_sqnorm(codes, codebook: PQCodebook) -> jax.Array:
+    """Exact squared reconstruction norms for ``[N, M]`` codes via the LUT."""
     csq = codebook.centroid_sqnorm
-    outs = []
-    for start in range(0, n, _ENCODE_BLOCK):
-        outs.append(_encode_block(x[start:start + _ENCODE_BLOCK],
-                                  codebook.centroids, csq))
-    codes = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    sqnorm = jnp.sum(jnp.take_along_axis(csq.T, codes, axis=0), axis=1)
-    return codes.astype(jnp.uint8), sqnorm
+    return jnp.sum(
+        jnp.take_along_axis(csq.T, codes.astype(jnp.int32), axis=0), axis=1
+    )
 
 
 def pq_reconstruct(codes, codebook: PQCodebook) -> jax.Array:

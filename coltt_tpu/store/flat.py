@@ -27,6 +27,14 @@ search takes the candidate bitmap from the host index and picks between two
 regimes (SURVEY.md §8 hard part (c)): a *gather* kernel when the candidate
 set is small (rows gathered into a padded [C', D] tile) and a *masked full
 scan* when it is large — the cost crossover is capacity/8.
+
+PQ mode stores authoritative ``[cap, M] uint8`` codes (trained via
+:mod:`coltt_tpu.ops.pq`) and, by default, decompresses them once per
+mutation into an f8 *scan cache* so search runs at the same MXU/bandwidth
+speed as F8 mode — measured XLA gather throughput (~1 subvector/cycle)
+makes decompress-at-search ADC ~1000x off the bandwidth bound at 10M rows.
+``pq_cache=False`` selects the low-memory blockwise-ADC scan instead
+(codes only: D/8 bytes per row at the default subspace layout).
 """
 
 from __future__ import annotations
@@ -39,6 +47,7 @@ import jax
 import jax.numpy as jnp
 import msgpack
 import numpy as np
+from jax import lax
 
 from coltt_tpu.ops.distance import Metric
 from coltt_tpu.ops.pq import (
@@ -47,6 +56,7 @@ from coltt_tpu.ops.pq import (
     pq_encode,
     pq_reconstruct,
     pq_scan_topk,
+    pq_sqnorm,
     train_pq,
 )
 from coltt_tpu.ops.quant import Quantization, dequantize, quantize, storage_dtype
@@ -82,6 +92,42 @@ def _apply_updates(codes, scale, sqnorm, valid, slots, u_codes, u_scale, u_sqnor
         sqnorm.at[slots].set(u_sqnorm),
         valid.at[slots].set(u_valid),
     )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _apply_pq_codes(pqcodes, slots, u_codes):
+    """Scatter staged PQ codes into the authoritative code array."""
+    return pqcodes.at[slots].set(u_codes)
+
+
+# rows per cache-build block: the reconstruct gather materializes an
+# [B*M, dsub] intermediate whose dsub-minor layout lane-pads 16x on TPU —
+# blocking bounds that transient (~800 MB at B=16384, M=96)
+_CACHE_BLOCK = 16384
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _pq_cache_rows(pqcodes, centroids, *, block: int):
+    """Reconstruct PQ rows and re-quantize them into f8 scan-cache form.
+    One dispatch; ``lax.map`` over row blocks. N % block == 0."""
+    n = pqcodes.shape[0]
+
+    def body(cb):
+        rec = pq_reconstruct(cb, PQCodebook(centroids))
+        codes, scale = quantize(rec, Quantization.F8)
+        deq = dequantize(codes, scale)
+        return codes, scale, jnp.sum(deq * deq, axis=1)
+
+    if n == block:
+        return body(pqcodes)
+    outs = lax.map(body, pqcodes.reshape(n // block, block, -1))
+    return tuple(
+        o.reshape((n,) + o.shape[2:]) for o in outs
+    )
+
+
+def _cache_block_for(n: int) -> int:
+    return _CACHE_BLOCK if (n > _CACHE_BLOCK and n % _CACHE_BLOCK == 0) else n
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "compute_dtype"))
@@ -128,15 +174,26 @@ class FlatStore:
         pq_subspaces: Optional[int] = None,
         pq_centroids: int = 256,
         pq_train_iters: int = 15,
+        pq_cache: bool = True,
     ):
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.quantization = Quantization.parse(quantization)
         self.is_pq = self.quantization == Quantization.PQ
+        self.pq_cache = bool(pq_cache) and self.is_pq
         if self.is_pq:
             # PQ path (the reference's reserved Quantization_PQ; ops.pq):
-            # codes are [cap, M] uint8 nearest-centroid ids, the codebook is
-            # trained lazily on the first synced batch.
+            # authoritative codes are [cap, M] uint8 nearest-centroid ids,
+            # the codebook is trained lazily on the first synced batch.
+            #
+            # XLA's TPU gather runs ~1 subvector/cycle (~0.85 us/row at
+            # 768d measured on v5e), so decompress-at-search ADC cannot
+            # approach the bandwidth bound for large N. With pq_cache=True
+            # (default) the store therefore decompresses ONCE per mutation
+            # into an f8 scan cache ([cap, D] f8 + per-row scale) and
+            # search rides the same fused MXU scan as F8 mode — codes stay
+            # the snapshot/source-of-truth, the cache is rebuildable state.
+            # pq_cache=False keeps the low-memory blockwise-ADC scan.
             self._qdtype = jnp.uint8
             self.pq_m = int(pq_subspaces or default_subspaces(self.dim))
             if self.dim % self.pq_m != 0:
@@ -172,8 +229,25 @@ class FlatStore:
         self._pending: Dict[int, Optional[np.ndarray]] = {}
 
     # -- device state ------------------------------------------------------
+    @property
+    def _scan_shape(self):
+        """(width, dtype) of ``self.codes``, the array search scans."""
+        if self.pq_cache:
+            return self.dim, jnp.float8_e4m3fn
+        return self._row_width, self._qdtype
+
+    def _pq_code_array(self):
+        """The authoritative [cap, M] uint8 PQ codes (PQ mode only)."""
+        return self.pqcodes if self.pq_cache else self.codes
+
     def _alloc(self, cap: int) -> None:
-        self.codes = self._put(jnp.zeros((cap, self._row_width), self._qdtype))
+        width, dtype = self._scan_shape
+        self.codes = self._put(jnp.zeros((cap, width), dtype))
+        self.pqcodes = (
+            self._put(jnp.zeros((cap, self.pq_m), jnp.uint8))
+            if self.pq_cache
+            else None
+        )
         self.scale = self._put(jnp.ones((cap, 1), jnp.float32))
         self.sqnorm = self._put(jnp.zeros((cap,), jnp.float32))
         self.valid = self._put(jnp.zeros((cap,), jnp.bool_))
@@ -185,11 +259,16 @@ class FlatStore:
     def _grow(self, need: int) -> None:
         new_cap = _round_capacity(need)
         pad = new_cap - self.capacity
+        width, dtype = self._scan_shape
         self.codes = self._put(
-            jnp.concatenate(
-                [self.codes, jnp.zeros((pad, self._row_width), self._qdtype)]
-            )
+            jnp.concatenate([self.codes, jnp.zeros((pad, width), dtype)])
         )
+        if self.pq_cache:
+            self.pqcodes = self._put(
+                jnp.concatenate(
+                    [self.pqcodes, jnp.zeros((pad, self.pq_m), jnp.uint8)]
+                )
+            )
         self.scale = self._put(
             jnp.concatenate([self.scale, jnp.ones((pad, 1), jnp.float32)])
         )
@@ -249,6 +328,67 @@ class FlatStore:
             slots.append(slot)
         return slots
 
+    def bulk_build(self, pks, vectors) -> None:
+        """Device-side bulk ingest for initial corpus load.
+
+        ``vectors`` may be a device array; rows never round-trip through
+        host staging (the reference's only ingest is one-by-one gRPC
+        Insert — ~600 s for 1M rows, SURVEY.md §6 — and even our staged
+        ``upsert_many`` pays a host stack + transfer; this path quantizes /
+        PQ-trains / encodes entirely on device). Only valid on an empty
+        store.
+        """
+        if len(self.pk_to_slot) or self._pending or self._free:
+            raise RuntimeError("bulk_build requires an empty store")
+        vectors = jnp.asarray(vectors, jnp.float32)
+        n, d = vectors.shape
+        if d != self.dim:
+            raise ValueError(f"expected [N, {self.dim}] vectors, got {vectors.shape}")
+        if len(pks) != n:
+            raise ValueError("pks/vectors length mismatch")
+        cap = max(_round_capacity(n), self.capacity)
+        pad = [(0, cap - n), (0, 0)]
+
+        if self.is_pq:
+            if self.codebook is None:
+                self.codebook = train_pq(
+                    vectors, m=self.pq_m, n_centroids=self.pq_centroids,
+                    iters=self.pq_train_iters,
+                )
+            # pad to capacity FIRST so encode/cache blocks divide evenly
+            # (cap is a power-of-two multiple of the quantum); padding rows
+            # are masked by valid below
+            v_pad = jnp.pad(vectors, pad)
+            u_pq, u_lut_sqnorm = pq_encode(v_pad, self.codebook)
+            if self.pq_cache:
+                self.pqcodes = self._put(u_pq)
+                codes, scale, sqnorm = _pq_cache_rows(
+                    u_pq, self.codebook.centroids,
+                    block=_cache_block_for(cap),
+                )
+            else:
+                codes, scale, sqnorm = (
+                    u_pq, jnp.ones((cap, 1), jnp.float32), u_lut_sqnorm,
+                )
+            self.codes = self._put(codes)
+            self.scale = self._put(scale)
+            self.sqnorm = self._put(sqnorm)
+        else:
+            codes, scale = quantize(vectors, self.quantization)
+            codes = codes.astype(self._qdtype)
+            deq = dequantize(codes, scale)
+            sqnorm = jnp.sum(deq * deq, axis=1)
+            self.codes = self._put(jnp.pad(codes, pad))
+            self.scale = self._put(jnp.pad(scale, pad, constant_values=1.0))
+            self.sqnorm = self._put(jnp.pad(sqnorm, pad[:1]))
+        self.valid = self._put(
+            jnp.pad(jnp.ones((n,), jnp.bool_), pad[:1])
+        )
+        self.capacity = cap
+        self._next_slot = n
+        self.pk_to_slot = dict(zip(pks, range(n)))
+        self.slot_to_pk = dict(enumerate(pks))
+
     def delete(self, pk: str) -> Optional[int]:
         """Tombstone + free the slot (RemoveVertex parity,
         edge/f16_vectorstore.go:108-130)."""
@@ -293,11 +433,27 @@ class FlatStore:
                     iters=self.pq_train_iters,
                 )
             if self.codebook is None:  # all-deletes batch before any data
-                u_codes = jnp.zeros((len(slots), self.pq_m), jnp.uint8)
-                u_sqnorm = jnp.zeros((len(slots),), jnp.float32)
+                u_pq = jnp.zeros((len(slots), self.pq_m), jnp.uint8)
+                u_lut_sqnorm = jnp.zeros((len(slots),), jnp.float32)
             else:
-                u_codes, u_sqnorm = pq_encode(jnp.asarray(rows), self.codebook)
-            u_scale = jnp.ones((len(slots), 1), jnp.float32)
+                u_pq, u_lut_sqnorm = pq_encode(jnp.asarray(rows), self.codebook)
+            if self.pq_cache:
+                if self.codebook is None:
+                    u_codes = jnp.zeros((len(slots), self.dim), jnp.float8_e4m3fn)
+                    u_scale = jnp.ones((len(slots), 1), jnp.float32)
+                    u_sqnorm = u_lut_sqnorm
+                else:
+                    u_codes, u_scale, u_sqnorm = _pq_cache_rows(
+                        u_pq, self.codebook.centroids,
+                        block=_cache_block_for(u_pq.shape[0]),
+                    )
+                self.pqcodes = _apply_pq_codes(
+                    self.pqcodes, jnp.asarray(slots), u_pq
+                )
+            else:
+                u_codes = u_pq
+                u_sqnorm = u_lut_sqnorm
+                u_scale = jnp.ones((len(slots), 1), jnp.float32)
         else:
             u_codes, u_scale = quantize(jnp.asarray(rows), self.quantization)
             u_codes = u_codes.astype(self._qdtype)
@@ -317,6 +473,8 @@ class FlatStore:
         per_row = (
             self._row_width * jnp.dtype(self._qdtype).itemsize + 4 + 4 + 1
         )
+        if self.pq_cache:
+            per_row += self.dim  # f8 scan cache
         return self.capacity * per_row
 
     def get_vector(self, pk: str) -> Optional[np.ndarray]:
@@ -330,8 +488,9 @@ class FlatStore:
         if self.is_pq:
             if self.codebook is None:
                 return None
+            pq_codes = self._pq_code_array()
             return np.asarray(
-                jax.device_get(pq_reconstruct(self.codes[slot : slot + 1],
+                jax.device_get(pq_reconstruct(pq_codes[slot : slot + 1],
                                               self.codebook))
             )[0]
         row = jax.device_get(self.codes[slot]).astype(np.float32)
@@ -373,7 +532,7 @@ class FlatStore:
         else:
             valid = self.valid
 
-        if self.is_pq:
+        if self.is_pq and not self.pq_cache:
             if self.codebook is None:  # nothing ever synced
                 q = queries.shape[0]
                 return (
@@ -400,7 +559,7 @@ class FlatStore:
         cand[:n] = candidates
         cand_valid = np.zeros(padded, bool)
         cand_valid[:n] = True
-        if self.is_pq:
+        if self.is_pq and not self.pq_cache:
             if self.codebook is None:
                 q = np.atleast_2d(queries).shape[0]
                 return (
@@ -437,7 +596,9 @@ class FlatStore:
         """Binary snapshot (SaveVertex parity, edge/f16_vectorstore.go:317+).
         Layout: magic, msgpack header, then raw array bytes."""
         self.sync()
-        codes = np.asarray(jax.device_get(self.codes))
+        codes = np.asarray(
+            jax.device_get(self._pq_code_array() if self.is_pq else self.codes)
+        )
         scale = np.asarray(jax.device_get(self.scale))
         sqnorm = np.asarray(jax.device_get(self.sqnorm))
         valid = np.asarray(jax.device_get(self.valid))
@@ -458,6 +619,7 @@ class FlatStore:
                 "m": self.pq_m,
                 "centroids": self.pq_centroids,
                 "train_iters": self.pq_train_iters,
+                "cache": self.pq_cache,
                 "codebook": cb.getvalue(),
             }
         hb = msgpack.packb(header, use_bin_type=True)
@@ -469,7 +631,11 @@ class FlatStore:
 
     @classmethod
     def load(
-        cls, f: io.BufferedIOBase, *, sharding: Optional[jax.sharding.Sharding] = None
+        cls,
+        f: io.BufferedIOBase,
+        *,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        pq_cache: Optional[bool] = None,
     ) -> "FlatStore":
         magic = f.read(len(_SNAPSHOT_MAGIC))
         if magic != _SNAPSHOT_MAGIC:
@@ -477,6 +643,8 @@ class FlatStore:
         hlen = int.from_bytes(f.read(8), "big")
         header = msgpack.unpackb(f.read(hlen), raw=False)
         pq = header.get("pq")
+        if pq_cache is None:
+            pq_cache = pq.get("cache", True) if pq else True
         store = cls(
             header["dim"],
             metric=Metric.parse(header["metric"]),
@@ -486,6 +654,7 @@ class FlatStore:
             pq_subspaces=pq["m"] if pq else None,
             pq_centroids=pq["centroids"] if pq else 256,
             pq_train_iters=pq["train_iters"] if pq else 15,
+            pq_cache=pq_cache,
         )
         if pq and pq["codebook"]:
             store.codebook = PQCodebook.load(io.BytesIO(pq["codebook"]))
@@ -498,12 +667,37 @@ class FlatStore:
         scale = np.frombuffer(f.read(cap * 4), np.float32).reshape(cap, 1)
         sqnorm = np.frombuffer(f.read(cap * 4), np.float32)
         valid = np.frombuffer(f.read(cap), np.bool_)
-        store.codes = store._put(jnp.asarray(codes))
-        store.scale = store._put(jnp.asarray(scale))
-        store.sqnorm = store._put(jnp.asarray(sqnorm))
         store.valid = store._put(jnp.asarray(valid))
+        if store.pq_cache:
+            store.pqcodes = store._put(jnp.asarray(codes))
+            store._rebuild_pq_cache()
+        elif store.is_pq:
+            store.codes = store._put(jnp.asarray(codes))
+            store.scale = store._put(jnp.ones((cap, 1), jnp.float32))
+            store.sqnorm = store._put(
+                pq_sqnorm(store.codes, store.codebook)
+                if store.codebook is not None
+                else jnp.zeros((cap,), jnp.float32)
+            )
+        else:
+            store.codes = store._put(jnp.asarray(codes))
+            store.scale = store._put(jnp.asarray(scale))
+            store.sqnorm = store._put(jnp.asarray(sqnorm))
         store._next_slot = header["next_slot"]
         store._free = list(header["free"])
         store.pk_to_slot = {pk: slot for pk, slot in header["pks"]}
         store.slot_to_pk = {slot: pk for pk, slot in header["pks"]}
         return store
+
+    def _rebuild_pq_cache(self) -> None:
+        """Decompress the authoritative PQ codes into the f8 scan cache
+        (one-time per load; ~1 us/row of codebook gather on v5e)."""
+        if self.codebook is None:
+            return
+        codes, scale, sqnorm = _pq_cache_rows(
+            self.pqcodes, self.codebook.centroids,
+            block=_cache_block_for(self.capacity),
+        )
+        self.codes = self._put(codes)
+        self.scale = self._put(scale)
+        self.sqnorm = self._put(sqnorm)

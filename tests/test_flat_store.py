@@ -138,10 +138,10 @@ def test_get_vector_roundtrip(rng):
 
 # -- PQ-quantized store ------------------------------------------------------
 
-def _mk_pq(rng, n=600, dim=32):
+def _mk_pq(rng, n=600, dim=32, **kw):
     store = FlatStore(
         dim, metric=Metric.COSINE, quantization=Quantization.PQ,
-        pq_subspaces=8, pq_centroids=64, pq_train_iters=8,
+        pq_subspaces=8, pq_centroids=64, pq_train_iters=8, **kw,
     )
     centers = rng.standard_normal((16, dim)).astype(np.float32)
     vecs = (
@@ -156,9 +156,28 @@ def test_pq_store_trains_and_searches(rng):
     store, vecs = _mk_pq(rng)
     scores, slots = store.search(vecs[5], k=10)
     assert store.codebook is not None
-    assert store.codes.shape[1] == 8  # M subspaces, not dim
+    assert store.pqcodes.shape[1] == 8  # M subspaces, not dim
+    assert store.codes.shape[1] == 32  # f8 scan cache at full dim
     # shortlist property: true row in PQ top-10 on clustered data
     assert store.pk_to_slot["pk5"] in set(slots[0].tolist())
+
+
+def test_pq_nocache_matches_cache_shortlist(rng):
+    cached, vecs = _mk_pq(rng)
+    adc = FlatStore(
+        32, metric=Metric.COSINE, quantization=Quantization.PQ,
+        pq_subspaces=8, pq_centroids=64, pq_train_iters=8, pq_cache=False,
+    )
+    adc.upsert_many([f"pk{i}" for i in range(len(vecs))], vecs)
+    adc.sync()
+    assert adc.codes.shape[1] == 8  # codes ARE the pq codes, no cache
+    s1, i1 = cached.search(vecs[5], k=20)
+    s2, i2 = adc.search(vecs[5], k=20)
+    # both modes shortlist the true row; exact ranks may differ by the
+    # f8 re-quantization of the cache
+    assert cached.pk_to_slot["pk5"] in set(i1[0].tolist())
+    assert adc.pk_to_slot["pk5"] in set(i2[0].tolist())
+    assert len(set(i1[0].tolist()) & set(i2[0].tolist())) >= 10
 
 
 def test_pq_store_upsert_after_training(rng):
@@ -199,6 +218,18 @@ def test_pq_snapshot_roundtrip(rng):
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
 
 
+def test_pq_snapshot_load_nocache_override(rng):
+    store, vecs = _mk_pq(rng)
+    buf = io.BytesIO()
+    store.save(buf)
+    buf.seek(0)
+    loaded = FlatStore.load(buf, pq_cache=False)
+    assert loaded.is_pq and not loaded.pq_cache
+    assert loaded.codes.shape[1] == 8
+    _, i2 = loaded.search(vecs[3], k=10)
+    assert loaded.pk_to_slot["pk3"] in set(i2[0].tolist())
+
+
 def test_pq_get_vector_is_reconstruction(rng):
     store, vecs = _mk_pq(rng)
     got = store.get_vector("pk9")
@@ -207,3 +238,39 @@ def test_pq_get_vector_is_reconstruction(rng):
         np.linalg.norm(got) * np.linalg.norm(vecs[9])
     )
     assert cos > 0.9
+
+
+def test_bulk_build_matches_upsert(rng):
+    vecs = rng.standard_normal((500, 32)).astype(np.float32)
+    pks = [f"pk{i}" for i in range(500)]
+    a = FlatStore(32, metric=Metric.COSINE, quantization=Quantization.F8)
+    a.upsert_many(pks, vecs)
+    b = FlatStore(32, metric=Metric.COSINE, quantization=Quantization.F8)
+    b.bulk_build(pks, vecs)
+    q = vecs[:4]
+    s1, i1 = a.search(q, k=5)
+    s2, i2 = b.search(q, k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5)
+    # mutation continues to work after bulk build
+    b.upsert("extra", vecs[0])
+    assert len(b) == 501
+
+
+def test_bulk_build_pq(rng):
+    store, vecs = _mk_pq(rng)
+    bulk = FlatStore(
+        32, metric=Metric.COSINE, quantization=Quantization.PQ,
+        pq_subspaces=8, pq_centroids=64, pq_train_iters=8,
+    )
+    bulk.bulk_build([f"pk{i}" for i in range(len(vecs))], vecs)
+    assert bulk.codebook is not None and bulk.pqcodes.shape[1] == 8
+    _, idx = bulk.search(vecs[5], k=10)
+    assert bulk.pk_to_slot["pk5"] in set(idx[0].tolist())
+
+
+def test_bulk_build_requires_empty(rng):
+    store = FlatStore(32)
+    store.upsert("x", rng.standard_normal(32).astype(np.float32))
+    with pytest.raises(RuntimeError):
+        store.bulk_build(["a"], rng.standard_normal((1, 32)).astype(np.float32))
