@@ -154,3 +154,28 @@ def merge_topk(scores_a, ids_a, scores_b, ids_b, *, k: int):
     kk = min(k, vals.shape[1])
     mvals, midx = lax.top_k(vals, kk)
     return mvals, jnp.take_along_axis(ids, midx, axis=1)
+
+
+def compute_recall(result_ids, truth_ids) -> float:
+    """Fraction of ground-truth ids present in the results, averaged over
+    queries (ComputeRecall parity, edge/resultset.go:54-64).
+
+    Both arguments are ``[Q, k]`` id arrays; negative ids (empty slots)
+    in the truth are ignored.
+    """
+    import numpy as np
+
+    result_ids = np.asarray(result_ids)
+    truth_ids = np.asarray(truth_ids)
+    if result_ids.ndim == 1:
+        result_ids = result_ids[None]
+        truth_ids = truth_ids[None]
+    total, hit = 0, 0
+    for r in range(truth_ids.shape[0]):
+        truth = set(int(t) for t in truth_ids[r] if t >= 0)
+        if not truth:
+            continue
+        got = set(int(t) for t in result_ids[r])
+        hit += len(truth & got)
+        total += len(truth)
+    return hit / total if total else 1.0

@@ -155,3 +155,37 @@ def test_requires_primary_key_schema(engine):
     )
     with pytest.raises(EngineError):
         engine.create_collection(bad)
+
+
+def test_pq_collection_end_to_end(engine, rng):
+    """PQ quantization through the full engine surface: create -> index ->
+    search -> flush -> release -> load -> search (reference's reserved
+    Quantization_PQ, realized via ops.pq + the FlatStore scan cache)."""
+    schema = CollectionSchema(
+        name="pqcol",
+        dim=32,
+        quantization=Quantization.PQ,
+        fields=[
+            FieldSchema("pk", FieldType.STRING, primary_key=True),
+            FieldSchema("city", FieldType.STRING),
+        ],
+    )
+    engine.create_collection(schema)
+    centers = rng.standard_normal((8, 32)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 8, 300)]
+            + 0.05 * rng.standard_normal((300, 32)).astype(np.float32))
+    mds = [{"pk": f"p{i}", "city": ["a", "b"][i % 2]} for i in range(300)]
+    engine.index_many("pqcol", mds, vecs)
+
+    hits = engine.search("pqcol", vecs[11], limit=20)
+    assert "p11" in [h.id for h in hits]
+    # filtered search composes with PQ
+    hits = engine.search("pqcol", vecs[11], limit=20,
+                         filter_expression=Filter("city", Op.EQ, "b"))
+    assert all(h.metadata["city"] == "b" for h in hits)
+
+    engine.flush("pqcol")
+    engine.release_collection("pqcol")
+    engine.load_collection("pqcol")
+    hits = engine.search("pqcol", vecs[11], limit=20)
+    assert "p11" in [h.id for h in hits]

@@ -274,3 +274,11 @@ def test_bulk_build_requires_empty(rng):
     store.upsert("x", rng.standard_normal(32).astype(np.float32))
     with pytest.raises(RuntimeError):
         store.bulk_build(["a"], rng.standard_normal((1, 32)).astype(np.float32))
+
+
+def test_compute_recall():
+    from coltt_tpu.ops.topk import compute_recall
+    r = compute_recall(np.array([[1, 2, 3], [4, 5, 6]]),
+                       np.array([[1, 2, 9], [4, 5, 6]]))
+    assert abs(r - 5 / 6) < 1e-9
+    assert compute_recall(np.array([1, 2]), np.array([-1, -1])) == 1.0
