@@ -7,10 +7,12 @@ pending-writes batch API, positional reads by
 ``ChunkPosition{SegmentId, BlockNumber, ChunkOffset, ChunkSize}``
 (segment.go:96-110), full-log readers (wal.go:190-296).
 
-Same on-disk geometry, implemented host-side in Python (zlib.crc32 is C).
-The WAL backs the KV commit log that makes TPU-side mutations crash-safe:
-a write is acknowledged only after it is in the log, so un-checkpointed
-device state can always be replayed.
+Same on-disk geometry. The framing / replay / CRC hot loops run in the
+native library (native/colttio.cpp via :mod:`coltt_tpu.native`) when it is
+available, with this module's Python loops as the bit-identical fallback
+(``COLTT_NATIVE=0`` forces them). The WAL backs the KV commit log that
+makes TPU-side mutations crash-safe: a write is acknowledged only after it
+is in the log, so un-checkpointed device state can always be replayed.
 """
 
 from __future__ import annotations
@@ -20,6 +22,8 @@ import struct
 import zlib
 from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
+
+from coltt_tpu import native
 
 BLOCK_SIZE = 32 * 1024
 CHUNK_HEADER_SIZE = 7  # crc32(4) + length(2) + type(1)
@@ -98,31 +102,67 @@ class WAL:
     def write(self, data: bytes) -> ChunkPosition:
         return self.write_batch([data])[0]
 
+    @staticmethod
+    def _est_framed(n: int) -> int:
+        """Upper bound on framed size: 7-byte header + <=6 pad per fragment."""
+        frags = 2 + n // (BLOCK_SIZE - CHUNK_HEADER_SIZE)
+        return n + 13 * frags
+
     def write_batch(self, datas: List[bytes]) -> List[ChunkPosition]:
-        """Append all payloads, rotating segments as needed; single flush."""
-        positions = []
-        buf = bytearray()
-        base_off = self._write_off
+        """Append all payloads, rotating segments as needed; one framing
+        pass + flush per segment-group (single native call when available).
 
-        def emit(payload: bytes):
-            nonlocal base_off
-            # rotate if even a FULL header can't start cleanly in this segment
-            est = len(payload) + CHUNK_HEADER_SIZE * (
-                2 + len(payload) // (BLOCK_SIZE - CHUNK_HEADER_SIZE)
-            )
-            if base_off + len(buf) + est > self.segment_size and (base_off + len(buf)) > 0:
-                self._flush_buf(buf)
+        Empty payloads are rejected: an empty FULL chunk's header
+        (crc=0, len=0, type=0) is indistinguishable from block padding on
+        replay."""
+        for d in datas:
+            if not d:
+                raise ValueError("empty WAL payloads are not allowed")
+        positions: List[ChunkPosition] = []
+        idx = 0
+        while idx < len(datas):
+            base = self._write_off
+            # rotate first if the next payload can't start in this segment
+            if base > 0 and base + self._est_framed(len(datas[idx])) > self.segment_size:
                 self._rotate()
-                base_off = 0
+                base = 0
+            # group consecutive payloads that fit the current segment
+            group: List[bytes] = []
+            acc = 0
+            while idx < len(datas):
+                est = self._est_framed(len(datas[idx]))
+                if group and base + acc + est > self.segment_size:
+                    break
+                group.append(datas[idx])
+                acc += est
+                idx += 1
+            buf, pos = self._frame_group(group, base)
+            self._active.write(buf)
+            self._active.flush()
+            if self.sync_on_write:
+                os.fsync(self._active.fileno())
+            self._write_off = self._active.tell()
+            positions.extend(
+                ChunkPosition(self._active_id, int(b), int(o), int(t))
+                for b, o, t in pos
+            )
+        return positions
 
-            off = base_off + len(buf)
-            start_block = off // BLOCK_SIZE
-            start_off = off % BLOCK_SIZE
-
+    def _frame_group(self, group: List[bytes], base: int):
+        """Frame a group of payloads starting at segment offset ``base``.
+        Returns (framed bytes, [(start_block, start_off, total), ...])."""
+        if native.available():
+            framed = native.wal_frame_batch(group, base)
+            if framed is not None:
+                return framed[0], framed[1].tolist()
+        buf = bytearray()
+        pos = []
+        for payload in group:
+            off = base + len(buf)
             remaining = payload
             first = True
             while True:
-                cur_off = (base_off + len(buf)) % BLOCK_SIZE
+                cur_off = (base + len(buf)) % BLOCK_SIZE
                 room = BLOCK_SIZE - cur_off
                 if room < CHUNK_HEADER_SIZE:
                     buf.extend(b"\x00" * room)  # pad to block boundary
@@ -144,24 +184,8 @@ class WAL:
                 first = False
                 if not remaining:
                     break
-            total = (base_off + len(buf)) - off
-            positions.append(
-                ChunkPosition(self._active_id, start_block, start_off, total)
-            )
-
-        for d in datas:
-            emit(d)
-        self._flush_buf(buf)
-        return positions
-
-    def _flush_buf(self, buf: bytearray) -> None:
-        if buf:
-            self._active.write(buf)
-            self._active.flush()
-            if self.sync_on_write:
-                os.fsync(self._active.fileno())
-            self._write_off = self._active.tell()
-            buf.clear()
+            pos.append((off // BLOCK_SIZE, off % BLOCK_SIZE, base + len(buf) - off))
+        return bytes(buf), pos
 
     def sync(self) -> None:
         self._active.flush()
@@ -174,9 +198,15 @@ class WAL:
     # -- read ------------------------------------------------------------------
     def read(self, pos: ChunkPosition) -> bytes:
         path = _segment_path(self.directory, pos.segment_id)
+        abs_off = pos.block_number * BLOCK_SIZE + pos.chunk_offset
         with open(path, "rb") as f:
-            f.seek(pos.block_number * BLOCK_SIZE + pos.chunk_offset)
+            f.seek(abs_off)
             raw = f.read(pos.chunk_size)
+        if native.available():
+            try:
+                return native.wal_decode(raw, abs_off)
+            except ValueError as e:
+                raise CorruptLogError(f"{e} at {pos}") from None
         return self._decode_chunks(raw, pos)
 
     @staticmethod
@@ -208,6 +238,21 @@ class WAL:
                 continue
             with open(path, "rb") as f:
                 data = f.read()
+            if native.available():
+                scanned = native.wal_scan(data)
+                if scanned is not None:
+                    arena, recs = scanned
+                    # materialize before yielding: the arena is a shared
+                    # cache that the next wal_scan call overwrites
+                    items = [
+                        (
+                            arena[p_off : p_off + p_len].tobytes(),
+                            ChunkPosition(seg_id, blk, c_off, c_size),
+                        )
+                        for p_off, p_len, blk, c_off, c_size in recs.tolist()
+                    ]
+                    yield from items
+                    continue
             i = 0
             pending = bytearray()
             start: Optional[Tuple[int, int]] = None
