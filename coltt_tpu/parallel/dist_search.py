@@ -34,13 +34,13 @@ from coltt_tpu.parallel.mesh import BATCH_AXIS, SHARD_AXIS
 
 
 def _local_scan_merge(codes, scale, sqnorm, valid, queries, *, k, metric,
-                      compute_dtype, block_rows=None):
+                      compute_dtype, block_rows=None, approx_recall=None):
     """Per-device body under shard_map: local scan -> global merge."""
     local_n = codes.shape[0]
     negd, ids = scan_neg_topk(
         queries, codes, scale, sqnorm, valid,
         k=k, metric=metric, compute_dtype=compute_dtype,
-        block_rows=block_rows,
+        block_rows=block_rows, approx_recall=approx_recall,
     )
     # local slot -> global slot
     shard_idx = lax.axis_index(SHARD_AXIS)
@@ -56,7 +56,8 @@ def _local_scan_merge(codes, scale, sqnorm, valid, queries, *, k, metric,
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "k", "metric", "compute_dtype", "block_rows"),
+    static_argnames=("mesh", "k", "metric", "compute_dtype", "block_rows",
+                     "approx_recall"),
 )
 def sharded_scan_topk(
     mesh: Mesh,
@@ -70,6 +71,7 @@ def sharded_scan_topk(
     metric: Metric = Metric.COSINE,
     compute_dtype=jnp.bfloat16,
     block_rows=None,
+    approx_recall=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Global top-k over a row-sharded corpus.
 
@@ -78,11 +80,24 @@ def sharded_scan_topk(
     Returns (scores [Q, k] on the 0-100 scale, global ids [Q, k]).
     """
     metric = Metric.parse(metric)
+    if mesh.size == 1:
+        # single device: the collective layer is a no-op and shard_map only
+        # adds dispatch overhead (measured 31 ms vs 6 ms per 512-query
+        # batch on v5e) — scan directly
+        negd, ids = scan_neg_topk(
+            queries, codes, scale, sqnorm, valid,
+            k=k, metric=metric, compute_dtype=compute_dtype,
+            block_rows=block_rows, approx_recall=approx_recall,
+        )
+        score = jnp.where(
+            jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric)
+        )
+        return score, ids
     fn = jax.shard_map(
         partial(
             _local_scan_merge,
             k=k, metric=metric, compute_dtype=compute_dtype,
-            block_rows=block_rows,
+            block_rows=block_rows, approx_recall=approx_recall,
         ),
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
@@ -144,7 +159,9 @@ class DistributedFlatIndex:
         self.sqnorm = jax.device_put(sqnorm, spec)
         self.valid = jax.device_put(valid, spec)
 
-    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def search(
+        self, queries: np.ndarray, k: int, *, approx_recall=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         batch = self.mesh.shape[BATCH_AXIS]
         q = queries.shape[0]
@@ -158,6 +175,7 @@ class DistributedFlatIndex:
         scores, ids = sharded_scan_topk(
             self.mesh, self.codes, self.scale, self.sqnorm, self.valid, jq,
             k=k, metric=self.metric, compute_dtype=self.compute_dtype,
+            approx_recall=approx_recall,
         )
         scores, ids = np.asarray(scores)[:q], np.asarray(ids)[:q]
         ids = np.where(np.isneginf(scores), -1, ids)

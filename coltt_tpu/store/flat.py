@@ -503,10 +503,13 @@ class FlatStore:
         *,
         candidates: Optional[np.ndarray] = None,
         metric: Optional[Metric] = None,
+        approx_recall: Optional[float] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k scan. Returns ``(scores [Q,k], slots [Q,k])``; empty slots
         carry score -inf. ``candidates`` is an optional dense int32 array of
-        allowed slots (from the inverted index) — the filtered path."""
+        allowed slots (from the inverted index) — the filtered path.
+        ``approx_recall`` selects ApproxTopK at that recall target (~4x
+        scan throughput at 0.99 on 1M x 768; see ops.topk)."""
         self.sync()
         metric = self.metric if metric is None else Metric.parse(metric)
         queries = np.atleast_2d(np.asarray(queries, np.float32))
@@ -549,6 +552,7 @@ class FlatStore:
                 jnp.asarray(queries), self.codes, self.scale, self.sqnorm, valid,
                 k=min(k, self.capacity), metric=metric,
                 compute_dtype=self.compute_dtype,
+                approx_recall=approx_recall,
             )
         return self._trim(np.asarray(scores), np.asarray(slots), k)
 

@@ -189,3 +189,10 @@ def test_pq_collection_end_to_end(engine, rng):
     engine.load_collection("pqcol")
     hits = engine.search("pqcol", vecs[11], limit=20)
     assert "p11" in [h.id for h in hits]
+
+
+def test_high_resource_toggle_uses_approx(engine, rng):
+    engine.create_collection(_schema())
+    vecs, _ = _fill(engine, rng)
+    hits = engine.search("col1", vecs[3], limit=5, high_resource=True)
+    assert hits[0].id == "p3"

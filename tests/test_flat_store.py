@@ -282,3 +282,13 @@ def test_compute_recall():
                        np.array([[1, 2, 9], [4, 5, 6]]))
     assert abs(r - 5 / 6) < 1e-9
     assert compute_recall(np.array([1, 2]), np.array([-1, -1])) == 1.0
+
+
+def test_approx_recall_search(rng):
+    store, vecs = _mk(rng, n=300)
+    s1, i1 = store.search(vecs[11], k=5)
+    s2, i2 = store.search(vecs[11], k=5, approx_recall=0.95)
+    # on CPU ApproxTopK aggregates to exact; on TPU it is near-exact —
+    # the self-match must always surface
+    assert i2[0, 0] == store.pk_to_slot["pk11"]
+    assert len(set(i1[0].tolist()) & set(i2[0].tolist())) >= 4

@@ -1,0 +1,94 @@
+"""Fused Pallas scan+top-k vs the exact XLA scan (interpret mode on CPU).
+
+The kernel keeps one candidate per 128-row bin, so on planted data (each
+true hit in a distinct bin) it must match the exact scan exactly; on
+random data it may drop a colliding hit, which the overlap bound checks.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coltt_tpu.ops.distance import Metric
+from coltt_tpu.ops.quant import Quantization, dequantize, quantize
+from coltt_tpu.ops.scan_pallas import BIN_ROWS, fused_scan_topk, supports
+from coltt_tpu.ops.topk import scan_topk
+
+N, D, K = 8192, 128, 5
+
+
+def _store(rng, n=N, d=D):
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    codes, scale = quantize(jnp.asarray(vecs), Quantization.F8)
+    deq = dequantize(codes, scale)
+    sqnorm = jnp.sum(deq * deq, axis=1)
+    return vecs, codes, scale, sqnorm
+
+
+def test_supports():
+    assert supports(8192, 768, Metric.COSINE, jnp.float8_e4m3fn)
+    assert not supports(8192, 100, Metric.COSINE, jnp.float8_e4m3fn)
+    assert not supports(1000, 768, Metric.COSINE, jnp.float8_e4m3fn)
+    assert not supports(8192, 768, Metric.MANHATTAN, jnp.float8_e4m3fn)
+
+
+@pytest.mark.parametrize("metric", [Metric.COSINE, Metric.EUCLIDEAN])
+def test_fused_matches_exact_on_planted(rng, metric):
+    """Plant near-duplicates of the query in well-separated bins."""
+    vecs, codes, scale, sqnorm = _store(rng)
+    q = rng.standard_normal((3, D)).astype(np.float32)
+    valid = jnp.ones((N,), bool)
+    # plant K hits for query 0 in distinct bins
+    planted = [17, BIN_ROWS * 5 + 3, BIN_ROWS * 20, BIN_ROWS * 40 + 99,
+               BIN_ROWS * 60 + 1]
+    v2 = vecs.copy()
+    for j, slot in enumerate(planted):
+        v2[slot] = q[0] * (1.0 + 0.01 * j)
+    codes, scale = quantize(jnp.asarray(v2), Quantization.F8)
+    deq = dequantize(codes, scale)
+    sqnorm = jnp.sum(deq * deq, axis=1)
+
+    s_exact, i_exact = scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=K, metric=metric)
+    s_fused, i_fused = fused_scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=K, metric=metric)
+    if metric == Metric.COSINE:
+        # all planted rows are exact top-K for query 0
+        assert set(np.asarray(i_fused)[0].tolist()) == set(planted)
+    np.testing.assert_allclose(
+        np.asarray(s_fused)[0], np.asarray(s_exact)[0], rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("metric", [Metric.COSINE, Metric.EUCLIDEAN])
+def test_fused_overlap_on_random(rng, metric):
+    vecs, codes, scale, sqnorm = _store(rng)
+    q = rng.standard_normal((4, D)).astype(np.float32)
+    valid = jnp.ones((N,), bool)
+    s_exact, i_exact = scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=K, metric=metric)
+    s_fused, i_fused = fused_scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=K, metric=metric)
+    for r in range(4):
+        overlap = set(np.asarray(i_fused)[r].tolist()) & set(
+            np.asarray(i_exact)[r].tolist())
+        assert len(overlap) >= K - 1  # at most one bin collision plausible
+
+
+def test_fused_respects_tombstones(rng):
+    vecs, codes, scale, sqnorm = _store(rng)
+    q = vecs[7:8]
+    valid = np.ones(N, bool)
+    valid[7] = False  # tombstone the self-match
+    s, i = fused_scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, jnp.asarray(valid), k=3,
+        metric=Metric.COSINE)
+    assert 7 not in np.asarray(i)[0].tolist()
+
+
+def test_fused_all_invalid(rng):
+    vecs, codes, scale, sqnorm = _store(rng)
+    q = vecs[:2]
+    valid = jnp.zeros((N,), bool)
+    s, i = fused_scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=3, metric=Metric.COSINE)
+    assert np.isneginf(np.asarray(s)).all()
