@@ -10,19 +10,20 @@ levelMultiplier=1/ln(m), Simple|Heuristic, extendCandidates/keepPruned) and
 ``hnsw_commit.go`` (Commit/Load binary snapshot).
 
 TPU-native design (SURVEY.md §7 phase 7): the pointer-graph becomes
-fixed-shape arrays. Construction mutates host numpy (adjacency as padded
-int32 rows) exactly once per insert — vectorized numpy replaces the per-pair
-SIMD distance calls. Search compiles to a *batched* beam: all Q queries
+fixed-shape arrays. Search compiles to a *batched* beam: all Q queries
 advance together under ``lax.while_loop``; each step expands the closest
 unexpanded beam entries per query, gathers their padded neighbor rows,
-masks already-visited ids against a [Q, N] visited map, scores the fresh
-frontier with one einsum (MXU), and merges via ``lax.top_k``. Deleted
+dedups by comparison against the beam + expansion history (no [Q, N]
+visited bitmap — TPU scatter is element-serialized), scores the fresh
+frontier with one einsum (MXU), and merges via ``lax.top_k``. The
+upper-level greedy descent is likewise a batched device walk. Deleted
 vertices stay traversable (like the reference, which relinks but tolerates
 tombstones mid-search) and are filtered from results.
 
-The upper-level greedy descent is O(hops*m) scalar work per query and runs
-on host numpy against the same adjacency arrays; only the level-0 beam — the
-hot loop (hnsw.go:345 searchLevel) — runs on device.
+Construction is two-mode: per-insert host numpy for the mutable serving
+path (parity with hnsw.go Insert), and ``bulk_build`` — batched device
+candidate beams + vectorized scatter/rebuild edge updates + a refinement
+pass — for ingest-scale builds.
 """
 
 from __future__ import annotations
@@ -93,29 +94,184 @@ class HnswConfig:
 # device kernel: batched level-0 beam search
 # ---------------------------------------------------------------------------
 
-def _batched_dist(queries, vecs, sqn_q, sqn_v, metric: Metric):
-    """queries [Q,D], vecs [Q,E,D] -> [Q,E] distances."""
-    dots = jnp.einsum("qd,qed->qe", queries, vecs, preferred_element_type=jnp.float32)
+def _batched_dist(queries, vecs, sqn_q, sqn_v, metric: Metric,
+                  compute_dtype=jnp.float32):
+    """queries [Q,D], vecs [Q,E,D] -> [Q,E] distances (f32 accumulation)."""
+    dots = jnp.einsum(
+        "qd,qed->qe",
+        queries.astype(compute_dtype),
+        vecs.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
     if metric == Metric.COSINE:
         den = jnp.sqrt(jnp.maximum(sqn_q[:, None] * sqn_v, 1e-30))
         return 1.0 - dots / den
     return jnp.maximum(sqn_q[:, None] + sqn_v - 2.0 * dots, 0.0)
 
 
-@partial(jax.jit, static_argnames=("ef", "k", "expand", "max_iters", "metric"))
+@partial(jax.jit, static_argnames=("metric", "compute_dtype", "max_hops"))
+def _greedy_descent(vectors, sqnorms, adj, queries, cur, *,
+                    metric: Metric, compute_dtype=jnp.float32,
+                    max_hops: int = 64):
+    """Batched greedy walk on one level (hnsw.go:320 greedyClosestNeighbor).
+
+    adj [N, W] padded int32 for the level, queries [Q, D] f32, cur [Q] int32
+    start vertices. Returns the per-query local minimum vertex ids [Q].
+    """
+    q = queries.shape[0]
+    q_iota = jnp.arange(q)
+    qsq = jnp.sum(queries * queries, axis=1)
+    cur_v = jnp.take(vectors, cur, axis=0)
+    cur_d = _batched_dist(
+        queries, cur_v[:, None, :], qsq, jnp.take(sqnorms, cur)[:, None],
+        metric, compute_dtype,
+    )[:, 0]
+    done = jnp.zeros(q, jnp.bool_)
+
+    def cond(state):
+        it, _, _, done = state
+        return jnp.logical_and(it < max_hops, ~jnp.all(done))
+
+    def body(state):
+        it, cur, cur_d, done = state
+        nbrs = jnp.take(adj, cur, axis=0)                 # [Q, W]
+        ok = nbrs >= 0
+        safe = jnp.where(ok, nbrs, 0)
+        nv = jnp.take(vectors, safe, axis=0)              # [Q, W, D]
+        nd = _batched_dist(
+            queries, nv, qsq, jnp.take(sqnorms, safe), metric, compute_dtype
+        )
+        nd = jnp.where(ok, nd, jnp.inf)
+        best = jnp.argmin(nd, axis=1)
+        bd = nd[q_iota, best]
+        improved = (bd < cur_d) & ~done
+        cur = jnp.where(improved, nbrs[q_iota, best], cur)
+        cur_d = jnp.where(improved, bd, cur_d)
+        return it + 1, cur, cur_d, done | ~improved
+
+    _, cur, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cur, cur_d, done)
+    )
+    return cur
+
+
+@partial(jax.jit, static_argnames=("metric", "compute_dtype"))
+def _rebuild_rows(vectors, sqnorms, adj, row_ids, extra, *,
+                  metric: Metric, compute_dtype=jnp.float32):
+    """Reverse-edge insertion with pruning, vectorized over rows.
+
+    For each row r in ``row_ids [U]``: merge its current neighbors
+    ``adj[r] [W]`` with the new candidate ids ``extra[r] [P]`` (-1 pad) and
+    keep the W closest to vertex r — the simple-selection form of
+    pruneNeighbors (hnsw.go:449). Returns the updated adjacency."""
+    existing = jnp.take(adj, row_ids, axis=0)             # [U, W]
+    w = existing.shape[1]
+    # drop extras already present in the row (refinement re-merges)
+    dup = jnp.any(extra[:, :, None] == existing[:, None, :], axis=-1)
+    extra = jnp.where(dup, -1, extra)
+    allids = jnp.concatenate([existing, extra], axis=1)   # [U, W+P]
+    ok = allids >= 0
+    safe = jnp.where(ok, allids, 0)
+    base_v = jnp.take(vectors, row_ids, axis=0).astype(jnp.float32)
+    base_sq = jnp.take(sqnorms, row_ids)
+    cand_v = jnp.take(vectors, safe, axis=0)              # [U, W+P, D]
+    d = _batched_dist(
+        base_v, cand_v, base_sq, jnp.take(sqnorms, safe), metric, compute_dtype
+    )
+    d = jnp.where(ok, d, jnp.inf)
+    negd, sel = jax.lax.top_k(-d, w)
+    new_rows = jnp.where(
+        jnp.isfinite(negd), jnp.take_along_axis(allids, sel, axis=1), -1
+    )
+    return adj.at[row_ids].set(new_rows.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("m", "metric", "keep_pruned", "compute_dtype"))
+def _heuristic_select(vectors, sqnorms, cand_d, cand_ids, *,
+                      m: int, metric: Metric, keep_pruned: bool,
+                      compute_dtype=jnp.float32):
+    """Vectorized selectNeighborsHeuristic (hnsw.go:399) over B rows.
+
+    cand_d/cand_ids are [B, C] candidate distances/ids sorted ascending
+    (-1/inf padding). m greedy rounds: each round admits the closest still-
+    admissible candidate, then drops candidates that are closer to it than
+    to the query. keep_pruned backfills remaining slots with the pruned
+    candidates in distance order. (extendCandidates is a host-path-only
+    feature; the bulk builder documents that.) Returns [B, m] ids."""
+    b, c = cand_ids.shape
+    iota = jnp.arange(b)
+    valid = cand_ids >= 0
+    safe = jnp.where(valid, cand_ids, 0)
+    cvec = jnp.take(vectors, safe, axis=0)          # [B, C, D]
+    csq = jnp.take(sqnorms, safe)                   # [B, C]
+    sel = jnp.full((b, m), -1, jnp.int32)
+    chosen = jnp.zeros((b, c), jnp.bool_)
+    admissible = valid
+
+    def body(r, state):
+        admissible, chosen, sel = state
+        has = jnp.any(admissible, axis=1)
+        pick = jnp.argmax(admissible, axis=1)       # first True (sorted by d)
+        sel = sel.at[:, r].set(
+            jnp.where(has, cand_ids[iota, pick], -1)
+        )
+        chosen = chosen.at[iota, pick].set(chosen[iota, pick] | has)
+        pv = cvec[iota, pick].astype(jnp.float32)   # [B, D]
+        psq = csq[iota, pick]
+        dd = _batched_dist(pv, cvec, psq, csq, metric, compute_dtype)  # [B, C]
+        admissible = jnp.where(
+            has[:, None], admissible & (cand_d < dd), admissible
+        ) & ~chosen
+        return admissible, chosen, sel
+
+    admissible, chosen, sel = jax.lax.fori_loop(
+        0, m, body, (admissible, chosen, sel)
+    )
+    if keep_pruned:
+        cnt = jnp.sum(sel >= 0, axis=1)             # [B]
+        rem = valid & ~chosen
+        slotpos = cnt[:, None] + jnp.cumsum(rem, axis=1) - 1
+        write = rem & (slotpos < m)
+        sel = sel.at[
+            iota[:, None], jnp.where(write, slotpos, m)
+        ].set(jnp.where(write, cand_ids, -1), mode="drop")
+    return sel
+
+
+@jax.jit
+def _drop_self(cand_d, cand_ids, own):
+    """Remove each row's own id from its candidate list (refinement pass)."""
+    bad = cand_ids == own[:, None]
+    d2 = jnp.where(bad, jnp.inf, cand_d)
+    negd, sel = jax.lax.top_k(-d2, cand_d.shape[1])
+    ids = jnp.take_along_axis(cand_ids, sel, axis=1)
+    return -negd, jnp.where(jnp.isinf(negd), -1, ids)
+
+
+@partial(jax.jit, static_argnames=(
+    "ef", "k", "expand", "max_iters", "metric", "compute_dtype"))
 def _beam_search_l0(
     vectors, sqnorms, adj0, alive, queries, entry_ids,
     *, ef: int, k: int, expand: int, max_iters: int, metric: Metric,
+    compute_dtype=jnp.float32,
 ):
     """Batched ef-bounded best-first search on the level-0 graph.
 
-    vectors [N,D] f32, sqnorms [N] f32, adj0 [N,M0] int32 (-1 pad),
+    vectors [N,D], sqnorms [N] f32, adj0 [N,M0] int32 (-1 pad),
     alive [N] bool (False = tombstoned), queries [Q,D] f32, entry_ids [Q].
     Returns (dists [Q,k], ids [Q,k]) over alive vertices (pad id -1/inf).
+
+    Dedup is by comparison, not a visited bitmap: a candidate is fresh iff
+    it is not in the current beam and not in the expansion history
+    ([Q, expand*max_iters] ids). TPU scatter/gather over a [Q, N] bool map
+    is element-serialized and dominated the kernel (measured 34% plus it
+    capped Q*N by HBM); the compare form is pure VPU work, 3x faster at
+    50k x 256d and O(Q*ef) memory. An expanded node can never re-enter
+    (history); an evicted-unexpanded node may be re-scored once — harmless.
     """
-    n, _ = vectors.shape
     q = queries.shape[0]
     m0 = adj0.shape[1]
+    em = expand * m0
     qsq = jnp.sum(queries * queries, axis=1)
     q_iota = jnp.arange(q)
 
@@ -126,12 +282,13 @@ def _beam_search_l0(
 
     e_vec = jnp.take(vectors, entry_ids, axis=0)
     e_sqn = jnp.take(sqnorms, entry_ids)
-    d0 = _batched_dist(queries, e_vec[:, None, :], qsq, e_sqn[:, None], metric)[:, 0]
+    d0 = _batched_dist(
+        queries, e_vec[:, None, :], qsq, e_sqn[:, None], metric, compute_dtype
+    )[:, 0]
     beam_ids = beam_ids.at[:, 0].set(entry_ids)
     beam_dist = beam_dist.at[:, 0].set(d0)
 
-    visited = jnp.zeros((q, n), jnp.bool_)
-    visited = visited.at[q_iota, entry_ids].set(True)
+    hist = jnp.full((q, expand * max_iters), -1, jnp.int32)
 
     def cond(state):
         it, _, beam_dist, beam_exp, _ = state
@@ -140,7 +297,7 @@ def _beam_search_l0(
         return jnp.logical_and(it < max_iters, has_work)
 
     def body(state):
-        it, beam_ids, beam_dist, beam_exp, visited = state
+        it, beam_ids, beam_dist, beam_exp, hist = state
         # pick the `expand` closest unexpanded beam entries per query
         frontier = jnp.where(beam_exp, jnp.inf, beam_dist)
         _, pick = jax.lax.top_k(-frontier, expand)              # [Q, E]
@@ -149,39 +306,43 @@ def _beam_search_l0(
         beam_exp = beam_exp.at[q_iota[:, None], pick].set(
             jnp.take_along_axis(beam_exp, pick, axis=1) | pick_live
         )
+        hist = jax.lax.dynamic_update_slice(
+            hist, jnp.where(pick_live, pick_ids, -1),
+            (jnp.int32(0), it * expand),
+        )
 
         safe_pick = jnp.where(pick_live & (pick_ids >= 0), pick_ids, 0)
-        nbrs = jnp.take(adj0, safe_pick, axis=0).reshape(q, expand * m0)
+        nbrs = jnp.take(adj0, safe_pick, axis=0).reshape(q, em)
         nbr_ok = (nbrs >= 0) & jnp.repeat(pick_live, m0, axis=1)
         safe_nbrs = jnp.where(nbr_ok, nbrs, 0)
 
-        seen = visited[q_iota[:, None], safe_nbrs]
-        fresh = nbr_ok & ~seen
-        # mark fresh as visited (scatter; duplicates in one row collapse fine)
-        scatter_idx = jnp.where(fresh, nbrs, n)  # n = out-of-bounds -> dropped
-        visited = visited.at[q_iota[:, None], scatter_idx].set(
-            True, mode="drop"
+        # fresh = not in beam, not already expanded, first in-row occurrence
+        in_beam = jnp.any(
+            safe_nbrs[:, :, None] == beam_ids[:, None, :], axis=2
         )
-        # in-row duplicate neighbor ids: keep only the first occurrence
+        in_hist = jnp.any(
+            safe_nbrs[:, :, None] == hist[:, None, :], axis=2
+        )
+        fresh = nbr_ok & ~in_beam & ~in_hist
         first_hit = (
             jnp.argmax(
                 (safe_nbrs[:, :, None] == safe_nbrs[:, None, :])
                 & fresh[:, None, :],
                 axis=2,
             )
-            == jnp.arange(expand * m0)[None, :]
+            == jnp.arange(em)[None, :]
         )
         fresh = fresh & first_hit
 
         nvecs = jnp.take(vectors, safe_nbrs, axis=0)       # [Q, EM, D]
         nsqn = jnp.take(sqnorms, safe_nbrs)                # [Q, EM]
-        ndist = _batched_dist(queries, nvecs, qsq, nsqn, metric)
+        ndist = _batched_dist(queries, nvecs, qsq, nsqn, metric, compute_dtype)
         ndist = jnp.where(fresh, ndist, jnp.inf)
 
         all_ids = jnp.concatenate([beam_ids, nbrs], axis=1)
         all_dist = jnp.concatenate([beam_dist, ndist], axis=1)
         all_exp = jnp.concatenate(
-            [beam_exp, jnp.ones((q, expand * m0), jnp.bool_)], axis=1
+            [beam_exp, jnp.ones((q, em), jnp.bool_)], axis=1
         )
         # fresh entries are unexpanded
         all_exp = all_exp.at[:, ef:].set(~fresh)
@@ -190,10 +351,10 @@ def _beam_search_l0(
         beam_ids = jnp.take_along_axis(all_ids, sel, axis=1)
         beam_dist = -negd
         beam_exp = jnp.take_along_axis(all_exp, sel, axis=1)
-        return it + 1, beam_ids, beam_dist, beam_exp, visited
+        return it + 1, beam_ids, beam_dist, beam_exp, hist
 
     _, beam_ids, beam_dist, beam_exp, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), beam_ids, beam_dist, beam_exp, visited)
+        cond, body, (jnp.int32(0), beam_ids, beam_dist, beam_exp, hist)
     )
 
     # filter tombstoned vertices from results
@@ -222,12 +383,17 @@ class HnswIndex:
         config: Optional[HnswConfig] = None,
         seed: int = 0,
         base_capacity: int = 1024,
+        device_dtype=jnp.float32,
     ):
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         if self.metric == Metric.MANHATTAN:
             raise ValueError("HNSW supports cosine/euclidean")
         self.config = (config or HnswConfig()).resolved()
+        # storage/compute dtype of the device-side graph used by batched
+        # search (bf16 halves HBM and doubles MXU rate; accumulation stays
+        # f32). Host construction always computes in f32.
+        self.device_dtype = device_dtype
         self._rng = np.random.default_rng(seed)
 
         cap = max(base_capacity, 1024)
@@ -443,6 +609,270 @@ class HnswIndex:
             self._entry = slot
         return slot
 
+    # -- bulk construction ----------------------------------------------------
+    def _connect_batch(self, d_vecs, d_sqn, adj, level: int,
+                       new_slots: np.ndarray, cand_d, cand_ids,
+                       overwrite_forward: bool = True):
+        """Connect a batch of new vertices at one level (device adjacency).
+
+        Forward edges: neighbor selection (simple top-m or the vectorized
+        heuristic) over the beam candidates. Reverse edges: group by target
+        row on host (ids only — bytes), then `_rebuild_rows` merges+prunes
+        each affected row on device. Returns the updated adjacency array."""
+        cfg = self.config
+        width = cfg.m_max0 if level == 0 else cfg.m_max
+        m = min(cfg.m, width)
+        b = len(new_slots)  # may contain duplicate pad rows (same cand rows)
+        cdt = d_vecs.dtype
+        if cfg.algorithm == HEURISTIC:
+            fwd_ids = _heuristic_select(
+                d_vecs, d_sqn, cand_d, cand_ids,
+                m=m, metric=self.metric,
+                keep_pruned=cfg.heuristic_keep_pruned,
+                compute_dtype=cdt,
+            )
+        else:
+            fwd_ids = cand_ids[:, :m]
+        j_slots = jnp.asarray(new_slots)
+        if overwrite_forward:
+            fwd_rows = jnp.full((b, width), -1, jnp.int32).at[:, :m].set(fwd_ids)
+            # duplicate pad indices scatter identical rows — deterministic
+            adj = adj.at[j_slots].set(fwd_rows)
+        else:
+            # refinement: merge fresh candidates into the existing row,
+            # keeping the closest `width` (duplicates collapse via prune)
+            adj = _rebuild_rows(
+                d_vecs, d_sqn, adj, j_slots,
+                jnp.asarray(fwd_ids).astype(jnp.int32),
+                metric=self.metric, compute_dtype=cdt,
+            )
+
+        # reverse edges, grouped by neighbor row (dedup kills pad duplicates)
+        f = np.asarray(fwd_ids)
+        nbr = f.ravel()
+        newp = np.repeat(new_slots, m)
+        keep = nbr >= 0
+        nbr, newp = nbr[keep], newp[keep]
+        if nbr.size == 0:
+            return adj
+        pair_key = nbr.astype(np.int64) * np.int64(d_vecs.shape[0]) + newp
+        _, first = np.unique(pair_key, return_index=True)
+        nbr, newp = nbr[first], newp[first]
+        order = np.argsort(nbr, kind="stable")
+        nbr, newp = nbr[order], newp[order]
+        uniq, starts, counts = np.unique(nbr, return_index=True,
+                                         return_counts=True)
+        p = 1
+        while p < min(int(counts.max()), 32):
+            p *= 2
+        pad_row = int(new_slots[0])  # never a reverse target this batch
+        offset = 0
+        while True:
+            active = counts > offset
+            if not active.any():
+                break
+            rows_r = uniq[active]
+            cnt_r = np.minimum(counts[active] - offset, p)
+            idx = starts[active][:, None] + offset + np.arange(p)[None, :]
+            ok = np.arange(p)[None, :] < cnt_r[:, None]
+            extras = np.where(ok, newp[np.minimum(idx, newp.size - 1)], -1)
+            u = len(rows_r)
+            u_pad = 1
+            while u_pad < u:
+                u_pad *= 2
+            if u_pad != u:
+                rows_r = np.concatenate(
+                    [rows_r, np.full(u_pad - u, pad_row, np.int32)]
+                )
+                extras = np.concatenate(
+                    [extras, np.full((u_pad - u, p), -1, np.int32)]
+                )
+            adj = _rebuild_rows(
+                d_vecs, d_sqn, adj,
+                jnp.asarray(rows_r.astype(np.int32)),
+                jnp.asarray(extras.astype(np.int32)),
+                metric=self.metric, compute_dtype=cdt,
+            )
+            offset += p
+        return adj
+
+    def bulk_build(
+        self,
+        vectors: np.ndarray,
+        *,
+        seed_size: int = 1024,
+        batch_rows: int = 2048,
+        expand: int = 16,
+        refine_rounds: int = 1,
+        build_dtype=jnp.bfloat16,
+        levels: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Device-accelerated batch construction on an empty index.
+
+        The sequential reference algorithm (hnsw.go:104-167, one
+        searchLevel per level per insert) becomes: a small sequential host
+        seed to establish the upper-level skeleton, then batches whose
+        efConstruction candidate beams run on the TPU (`_beam_search_l0`
+        over every level's padded adjacency), with forward selection
+        (simple top-m or the vectorized heuristic — extendCandidates is
+        host-path-only) and reverse-edge insertion + pruning as vectorized
+        scatter/rebuild kernels. Points within a batch do not see each
+        other as candidates (standard parallel-HNSW relaxation; reverse
+        edges still connect them through shared neighbors).
+
+        Batch insertion leaves late points with fewer reverse in-edges
+        than sequential insertion would (they were never candidates for
+        earlier points). ``refine_rounds`` extra passes re-search the
+        *finished* graph for every point and merge the fresh candidates
+        into both edge directions, which measurably restores tail recall.
+
+        Returns the assigned slots (0..N-1 in input order).
+        """
+        if self._count != 0 or self._next != 0:
+            raise RuntimeError("bulk_build requires an empty index")
+        vecs = np.ascontiguousarray(np.asarray(vectors, np.float32))
+        n, d = vecs.shape
+        if d != self.dim:
+            raise ValueError(f"dim {d} != index dim {self.dim}")
+        if n == 0:
+            return np.zeros(0, np.int32)
+        cfg = self.config
+        if levels is None:
+            u = self._rng.random(n)
+            levels = np.floor(
+                -np.log(np.maximum(u, 1e-12)) * cfg.level_multiplier
+            ).astype(np.int32)
+        else:
+            levels = np.asarray(levels, np.int32)
+
+        self._ensure_capacity(n)
+        self._ensure_level(int(levels.max(initial=0)))
+
+        # 1) sequential host seed — defines the upper-level skeleton
+        seed = max(1, min(seed_size, n))
+        for i in range(seed):
+            self.insert(vecs[i], slot=i, level=int(levels[i]))
+        if seed == n:
+            return np.arange(n, dtype=np.int32)
+
+        # stage remaining rows into the host arrays (alive set per batch)
+        self._vecs[seed:n] = vecs[seed:]
+        self._sqn[seed:n] = np.einsum(
+            "nd,nd->n", vecs[seed:], vecs[seed:], dtype=np.float32
+        )
+        self._levels[seed:n] = levels[seed:]
+        self._next = n
+
+        # device state over the full (pow2) capacity; future rows prefilled
+        # (unreachable until edges point at them). Candidate gathers are the
+        # build's HBM bottleneck — bf16 storage halves the traffic; all
+        # distance accumulation stays f32.
+        d_vecs = jnp.asarray(self._vecs).astype(build_dtype)
+        d_sqn = jnp.asarray(self._sqn)
+        d_alive = jnp.asarray(self._alive)
+        d_adj = [jnp.asarray(a) for a in self._adj]
+        efc = cfg.ef_construction
+        max_iters = max(2 * efc // max(expand, 1), 16)
+
+        def pow2_batch(limit: int) -> int:
+            b = 1
+            while b * 2 <= limit:
+                b *= 2
+            return b
+
+        pos = seed
+        while pos < n:
+            # power-of-two batches: bounded set of jit shapes, stable
+            # compile-cache keys across runs
+            b = pow2_batch(min(batch_rows, pos, n - pos))
+            slots = np.arange(pos, pos + b, dtype=np.int32)
+            bl = levels[pos:pos + b]
+            bq = jnp.asarray(vecs[pos:pos + b])
+            cur = jnp.full((b,), self._entry, jnp.int32)
+
+            for l in range(self._max_level, 0, -1):
+                cur = _greedy_descent(
+                    d_vecs, d_sqn, d_adj[l], bq, cur, metric=self.metric,
+                    compute_dtype=build_dtype,
+                )
+                need = bl >= l
+                if not need.any():
+                    continue
+                sub = np.where(need)[0]
+                u_pad = 1
+                while u_pad < len(sub):
+                    u_pad *= 2
+                sub_pad = np.concatenate(
+                    [sub, np.full(u_pad - len(sub), sub[0], sub.dtype)]
+                )
+                j_sub = jnp.asarray(sub_pad)
+                cand_dist, cand_ids = _beam_search_l0(
+                    d_vecs, d_sqn, d_adj[l], d_alive,
+                    jnp.take(bq, j_sub, axis=0),
+                    jnp.take(cur, j_sub),
+                    ef=efc, k=efc, expand=expand, max_iters=max_iters,
+                    metric=self.metric, compute_dtype=build_dtype,
+                )
+                d_adj[l] = self._connect_batch(
+                    d_vecs, d_sqn, d_adj[l], l, slots[sub_pad],
+                    cand_dist, cand_ids,
+                )
+                cur = cur.at[j_sub].set(cand_ids[:, 0])
+
+            cand_dist, cand_ids = _beam_search_l0(
+                d_vecs, d_sqn, d_adj[0], d_alive, bq, cur,
+                ef=efc, k=efc, expand=expand, max_iters=max_iters,
+                metric=self.metric, compute_dtype=build_dtype,
+            )
+            d_adj[0] = self._connect_batch(
+                d_vecs, d_sqn, d_adj[0], 0, slots, cand_dist, cand_ids
+            )
+
+            d_alive = d_alive.at[jnp.asarray(slots)].set(True)
+            self._alive[slots] = True
+            self._count += b
+            bmax = int(bl.max())
+            if bmax > self._max_level:
+                self._max_level = bmax
+                self._entry = int(slots[int(np.argmax(bl))])
+            pos += b
+
+        # refinement: every point re-searches the finished graph; merges
+        # (not overwrites) both edge directions. Restores the reverse
+        # in-edges late batches never received.
+        for _ in range(max(0, refine_rounds)):
+            pos = 0
+            while pos < n:
+                b = pow2_batch(min(batch_rows, n - pos))
+                slots = np.arange(pos, pos + b, dtype=np.int32)
+                bq = jnp.asarray(vecs[pos:pos + b])
+                cur = jnp.full((b,), self._entry, jnp.int32)
+                for l in range(self._max_level, 0, -1):
+                    cur = _greedy_descent(
+                        d_vecs, d_sqn, d_adj[l], bq, cur, metric=self.metric,
+                        compute_dtype=build_dtype,
+                    )
+                cand_dist, cand_ids = _beam_search_l0(
+                    d_vecs, d_sqn, d_adj[0], d_alive, bq, cur,
+                    ef=efc, k=efc, expand=expand, max_iters=max_iters,
+                    metric=self.metric, compute_dtype=build_dtype,
+                )
+                cand_dist, cand_ids = _drop_self(
+                    cand_dist, cand_ids, jnp.asarray(slots)
+                )
+                d_adj[0] = self._connect_batch(
+                    d_vecs, d_sqn, d_adj[0], 0, slots, cand_dist, cand_ids,
+                    overwrite_forward=False,
+                )
+                pos += b
+
+        for l in range(len(self._adj)):
+            # np.asarray over a device buffer is read-only; the host arrays
+            # stay mutable for post-bulk insert/remove
+            self._adj[l] = np.array(d_adj[l], copy=True)
+        self._device_cache = None
+        return np.arange(n, dtype=np.int32)
+
     def remove(self, slot: int) -> bool:
         """Remove (hnsw.go:191-242): tombstone + relink neighbors so the
         graph stays connected through the hole."""
@@ -477,10 +907,11 @@ class HnswIndex:
         if self._device_cache is None:
             n = self._next
             self._device_cache = (
-                jnp.asarray(self._vecs[:n]),
+                jnp.asarray(self._vecs[:n]).astype(self.device_dtype),
                 jnp.asarray(self._sqn[:n]),
                 jnp.asarray(self._adj[0][:n]),
                 jnp.asarray(self._alive[:n]),
+                tuple(jnp.asarray(a[:n]) for a in self._adj[1:]),
             )
         return self._device_cache
 
@@ -490,7 +921,7 @@ class HnswIndex:
         k: int,
         *,
         ef: Optional[int] = None,
-        expand: int = 1,
+        expand: int = 4,
         device: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched top-k search. Returns (dists [Q,k], slots [Q,k]); missing
@@ -502,21 +933,17 @@ class HnswIndex:
             return (np.full((qn, k), np.inf, np.float32),
                     np.full((qn, k), -1, np.int32))
 
-        # upper-level descent on host (cheap scalar hops)
-        entries = np.empty(qn, np.int32)
-        for i in range(qn):
-            cur = self._entry
-            for l in range(self._max_level, 0, -1):
-                cur = self._greedy_level(queries[i], cur, l)
-            entries[i] = cur
-
         if not device:
+            # upper-level descent + level-0 beam on host
             dists = np.full((qn, k), np.inf, np.float32)
             slots = np.full((qn, k), -1, np.int32)
             for i in range(qn):
+                cur = self._entry
+                for l in range(self._max_level, 0, -1):
+                    cur = self._greedy_level(queries[i], cur, l)
                 res = [
                     (d, nid)
-                    for d, nid in self._search_level(queries[i], int(entries[i]), ef, 0)
+                    for d, nid in self._search_level(queries[i], cur, ef, 0)
                     if self._alive[nid]
                 ][:k]
                 for j, (d, nid) in enumerate(res):
@@ -524,11 +951,20 @@ class HnswIndex:
                     slots[i, j] = nid
             return dists, slots
 
-        vectors, sqn, adj0, alive = self._device_graph()
+        vectors, sqn, adj0, alive, upper = self._device_graph()
+        jq = jnp.asarray(queries)
+        entries = jnp.full((qn,), self._entry, jnp.int32)
+        # upper-level greedy descent, batched on device per level
+        for l in range(min(self._max_level, len(upper)), 0, -1):
+            entries = _greedy_descent(
+                vectors, sqn, upper[l - 1], jq, entries,
+                metric=self.metric, compute_dtype=self.device_dtype,
+            )
         max_iters = max(2 * ef // max(expand, 1), 8)
         d, ids = _beam_search_l0(
-            vectors, sqn, adj0, alive, jnp.asarray(queries), jnp.asarray(entries),
+            vectors, sqn, adj0, alive, jq, entries,
             ef=ef, k=k, expand=expand, max_iters=max_iters, metric=self.metric,
+            compute_dtype=self.device_dtype,
         )
         d, ids = np.asarray(d), np.asarray(ids)
         if d.shape[1] < k:

@@ -131,6 +131,94 @@ def test_snapshot_roundtrip_structural(built):
     np.testing.assert_array_equal(i1, i2)
 
 
+def test_bulk_build_recall_and_interop():
+    """Bulk construction reaches the same recall bar as sequential inserts
+    and stays mutable afterwards (insert/remove on host arrays)."""
+    rng = np.random.default_rng(17)
+    n, dim = 1500, 24
+    vecs = rng.standard_normal((n, dim), dtype=np.float32)
+    idx = HnswIndex(
+        dim, metric=Metric.COSINE,
+        config=HnswConfig(m=8, ef_construction=60), seed=1,
+    )
+    slots = idx.bulk_build(vecs, seed_size=64, batch_rows=256)
+    assert list(slots) == list(range(n))
+    assert len(idx) == n
+
+    qs = rng.standard_normal((20, dim), dtype=np.float32)
+    d, ids = idx.search(qs, k=10, ef=64)
+    hits = sum(
+        len(set(_brute_topk(vecs, qs[i], 10)) & {int(x) for x in ids[i] if x >= 0})
+        for i in range(20)
+    )
+    assert hits / 200 >= 0.9, f"bulk recall@10 {hits/200}"
+
+    # post-bulk mutation still works
+    extra = rng.standard_normal(dim).astype(np.float32)
+    s = idx.insert(extra)
+    d, ids = idx.search(extra, k=1, ef=32)
+    assert ids[0, 0] == s
+    assert idx.remove(s)
+    d, ids = idx.search(extra, k=1, ef=32)
+    assert ids[0, 0] != s
+
+    # snapshot roundtrip preserves the bulk-built graph
+    buf = io.BytesIO()
+    idx.save(buf)
+    buf.seek(0)
+    idx2 = HnswIndex.load(buf)
+    d1, i1 = idx.search(qs[:3], k=5)
+    d2, i2 = idx2.search(qs[:3], k=5)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_bulk_build_heuristic():
+    rng = np.random.default_rng(23)
+    n, dim = 600, 16
+    vecs = rng.standard_normal((n, dim), dtype=np.float32)
+    cfg = HnswConfig(
+        m=6, ef_construction=40, algorithm=HEURISTIC,
+        heuristic_keep_pruned=True,
+    )
+    idx = HnswIndex(dim, metric=Metric.EUCLIDEAN, config=cfg, seed=3)
+    idx.bulk_build(vecs, seed_size=48, batch_rows=128)
+    qs = rng.standard_normal((10, dim), dtype=np.float32)
+    d, ids = idx.search(qs, k=10, ef=48)
+    hits = sum(
+        len(set(_brute_topk(vecs, qs[i], 10, metric=Metric.EUCLIDEAN))
+            & {int(x) for x in ids[i] if x >= 0})
+        for i in range(10)
+    )
+    assert hits / 100 >= 0.85, f"heuristic bulk recall@10 {hits/100}"
+
+
+def test_bulk_build_requires_empty():
+    idx = HnswIndex(8)
+    idx.insert(np.ones(8, np.float32))
+    with pytest.raises(RuntimeError):
+        idx.bulk_build(np.ones((4, 8), np.float32))
+
+
+def test_bulk_build_bf16_device_graph():
+    rng = np.random.default_rng(29)
+    import jax.numpy as jnp
+
+    n, dim = 500, 16
+    vecs = rng.standard_normal((n, dim), dtype=np.float32)
+    idx = HnswIndex(
+        dim, config=HnswConfig(m=8, ef_construction=48), seed=5,
+        device_dtype=jnp.bfloat16,
+    )
+    idx.bulk_build(vecs, seed_size=64, batch_rows=128)
+    qs = rng.standard_normal((8, dim), dtype=np.float32)
+    d, ids = idx.search(qs, k=10, ef=64)
+    hits = sum(
+        len(set(_brute_topk(vecs, qs[i], 10)) & {int(x) for x in ids[i] if x >= 0})
+        for i in range(8)
+    )
+    assert hits / 80 >= 0.85, f"bf16 recall@10 {hits/80}"
+
+
 def test_config_defaults():
     c = HnswConfig().resolved()
     assert c.m_max == 16 and c.m_max0 == 32 and c.ef == 20
