@@ -180,6 +180,21 @@ class CoreClient(_StubBase):
             self.call("Insert", self._change(name, ext_id, vector, metadata, core_pb2.INSERT))
         )
 
+    def bulk_insert(self, name: str, vectors, metadatas=None, *, ext_ids=None):
+        """Bulk ingest: one RPC carrying a packed [N, D] float block."""
+        import numpy as np
+
+        vecs = np.asarray(vectors, np.float32)
+        req = core_pb2.BulkDataset(
+            collection_name=name,
+            vectors=vecs.reshape(-1).tolist(),
+            count=vecs.shape[0],
+            ids=list(ext_ids or []),
+            metadata=[dict_to_struct(m) for m in (metadatas or [])],
+        )
+        resp = _raise_on_error(self.call("BulkInsert", req))
+        return list(resp.ids)
+
     def update(self, name: str, ext_id: str, vector, metadata=None):
         return _raise_on_error(
             self.call("Update", self._change(name, ext_id, vector, metadata, core_pb2.UPDATE))

@@ -253,6 +253,20 @@ class CoreServicer:
         )
         return common_pb2.Response(status=True)
 
+    def BulkInsert(self, request, context):
+        count = int(request.count)
+        vecs = np.asarray(request.vectors, np.float32)
+        if count <= 0 or vecs.size % count != 0:
+            raise ValueError("count must divide len(vectors)")
+        vecs = vecs.reshape(count, -1)
+        ids = self.engine.bulk_insert(
+            request.collection_name,
+            vecs,
+            [struct_to_dict(m) for m in request.metadata] or None,
+            ext_ids=list(request.ids) or None,
+        )
+        return core_pb2.BulkResponse(status=True, ids=ids)
+
     def Update(self, request, context):
         self.engine.update(
             request.collection_name,
@@ -422,6 +436,7 @@ _CORE_RPCS: Dict[str, Tuple[type, type]] = {
     "LoadCollection": (core_pb2.CollectionName, core_pb2.CollectionMsg),
     "ReleaseCollection": (core_pb2.CollectionName, core_pb2.ResponseWithMessage),
     "Insert": (core_pb2.DatasetChange, common_pb2.Response),
+    "BulkInsert": (core_pb2.BulkDataset, core_pb2.BulkResponse),
     "Update": (core_pb2.DatasetChange, common_pb2.Response),
     "Delete": (core_pb2.DatasetChange, common_pb2.Response),
     "VectorSearch": (core_pb2.SearchRequest, core_pb2.SearchResponse),

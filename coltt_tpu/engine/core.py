@@ -278,6 +278,98 @@ class CoreEngine:
                 ) from e
             return ext_id
 
+    def bulk_insert(
+        self,
+        name: str,
+        vectors: np.ndarray,
+        metadatas: Optional[List[Dict[str, Any]]] = None,
+        *,
+        ext_ids: Optional[List[str]] = None,
+    ) -> List[str]:
+        """Device-accelerated bulk ingest.
+
+        The reference has no bulk path — its published 1M ingest is one
+        Insert RPC per vector (583.83 s, benchmark/bench_insert.py:5-41).
+        On an empty collection this builds the whole HNSW graph with
+        ``HnswIndex.bulk_build`` (batched candidate beams on the TPU) and
+        commits the log in large KV batches; on a non-empty collection it
+        degrades to sequential inserts. All-or-nothing on the empty-path:
+        any failure resets the collection to empty (rollback parity).
+        """
+        with self._mu:
+            col = self._require_col(name)
+            vecs = np.asarray(vectors, np.float32)
+            if vecs.ndim != 2 or vecs.shape[1] != col.spec.dim:
+                raise EngineError(
+                    f"bulk_insert wants [N, {col.spec.dim}] vectors, got "
+                    f"{vecs.shape} (chkValidDimensionality)"
+                )
+            n = vecs.shape[0]
+            metadatas = metadatas or [{} for _ in range(n)]
+            if len(metadatas) != n:
+                raise EngineError("metadatas length != vectors length")
+            if ext_ids is None:
+                ext_ids = [str(self.ids.generate()) for _ in range(n)]
+            elif len(ext_ids) != n:
+                raise EngineError("ext_ids length != vectors length")
+            if len(set(ext_ids)) != n:
+                raise EngineError("duplicate ids in bulk insert")
+
+            if len(col.hnsw) != 0:
+                dup = next((i for i in ext_ids if i in col.id_to_slot), None)
+                if dup is not None:
+                    raise EngineError(f"id {dup!r} already exists; use Update")
+                for i in range(n):
+                    self.insert(name, vecs[i], metadatas[i], ext_id=ext_ids[i])
+                return list(ext_ids)
+
+            try:
+                slots = col.hnsw.bulk_build(vecs)
+                for i, slot in enumerate(slots):
+                    slot = int(slot)
+                    md = dict(metadatas[i])
+                    col.inverted.add(slot, md)
+                    col.metadata[slot] = md
+                    col.id_to_slot[ext_ids[i]] = slot
+                    col.slot_to_id[slot] = ext_ids[i]
+                batch = self.kv.new_batch()
+                pending = 0
+                for i in range(n):
+                    record = msgpack.packb(
+                        {"id": ext_ids[i], "vector": vecs[i].tobytes(),
+                         "metadata": metadatas[i]},
+                        use_bin_type=True,
+                    )
+                    batch.put(self._log_key(name, ext_ids[i]), record)
+                    pending += 1
+                    if pending >= 4096:
+                        batch.commit()
+                        batch = self.kv.new_batch()
+                        pending = 0
+                batch.put(self._dirty_key(name), b"1")
+                batch.commit()
+            except EngineError:
+                raise
+            except Exception as e:
+                # all-or-nothing rollback: reset to an empty collection
+                self._collections[name] = _CoreCollection(
+                    spec=col.spec,
+                    hnsw=HnswIndex(
+                        col.spec.dim, metric=col.spec.metric,
+                        config=col.spec.config,
+                    ),
+                    inverted=InvertedIndex(string_normalize=True),
+                )
+                b = self.kv.new_batch()
+                for k in self.kv.keys(f"{name}{_SEP}".encode()):
+                    b.delete(k)
+                b.commit()
+                raise EngineError(
+                    f"bulk insert failed and was rolled back: {e}",
+                    ErrorCode.INTERNAL_FUNC_ERROR,
+                ) from e
+            return list(ext_ids)
+
     def update(
         self, name: str, ext_id: str, vector: np.ndarray,
         metadata: Optional[Dict[str, Any]] = None,
@@ -425,16 +517,31 @@ class CoreEngine:
             inverted=InvertedIndex(string_normalize=True),
         )
         prefix = f"{name}{_SEP}".encode()
-        n = 0
-        for key in self.kv.keys(prefix):
-            rec = msgpack.unpackb(self.kv.get(key), raw=False)
-            v = np.frombuffer(rec["vector"], np.float32)
-            slot = col.hnsw.insert(v)
-            col.inverted.add(slot, rec["metadata"])
-            col.metadata[slot] = rec["metadata"]
-            col.id_to_slot[rec["id"]] = slot
-            col.slot_to_id[slot] = rec["id"]
-            n += 1
+        recs = [
+            msgpack.unpackb(self.kv.get(key), raw=False)
+            for key in self.kv.keys(prefix)
+        ]
+        n = len(recs)
+        if n > 4096:
+            # large logs: rebuild the graph with the batched device builder
+            vecs = np.stack(
+                [np.frombuffer(r["vector"], np.float32) for r in recs]
+            )
+            slots = col.hnsw.bulk_build(vecs)
+            for r, slot in zip(recs, slots):
+                slot = int(slot)
+                col.inverted.add(slot, r["metadata"])
+                col.metadata[slot] = r["metadata"]
+                col.id_to_slot[r["id"]] = slot
+                col.slot_to_id[slot] = r["id"]
+        else:
+            for rec in recs:
+                v = np.frombuffer(rec["vector"], np.float32)
+                slot = col.hnsw.insert(v)
+                col.inverted.add(slot, rec["metadata"])
+                col.metadata[slot] = rec["metadata"]
+                col.id_to_slot[rec["id"]] = slot
+                col.slot_to_id[slot] = rec["id"]
         log.info(
             "rebuilt collection from commit log",
             extra={"kv": {"collection": name, "records": n}},

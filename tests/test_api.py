@@ -182,3 +182,20 @@ def test_experimental_full_flow(exp, rng):
     exp.index("mv", "r3", delete=True)
     exp.flush("mv")
     exp.delete_collection("mv")
+
+
+def test_core_bulk_insert_rpc(core, rng):
+    core.create_collection("b", DIM)
+    vecs = rng.standard_normal((120, DIM), dtype=np.float32)
+    mds = [{"tag": f"t{i % 2}"} for i in range(120)]
+    ids = core.bulk_insert("b", vecs, mds, ext_ids=[f"bk{i}" for i in range(120)])
+    assert len(ids) == 120 and ids[3] == "bk3"
+    assert core.collection_info("b").info.collection_length == 120
+    hits, _ = core.vector_search("b", vecs[11], top_k=1)
+    assert hits[0]["id"] == "bk11"
+    hits, _ = core.hybrid_search("b", vecs[10], {"tag": "t0"}, top_k=3)
+    assert hits[0]["id"] == "bk10"
+    # snowflake ids when none are provided
+    more = rng.standard_normal((3, DIM), dtype=np.float32)
+    auto_ids = core.bulk_insert("b", more)
+    assert len(auto_ids) == 3 and all(auto_ids)

@@ -170,3 +170,54 @@ def test_min_score_threshold(engine, rng):
     few = engine.vector_search("c1", vecs[0], top_k=10, min_score=thresh)
     assert len(few) < len(all_hits)
     assert all(h.score >= thresh for h in few)
+
+
+def test_bulk_insert_empty_collection(engine, rng):
+    engine.create_collection(_spec())
+    n = 300
+    vecs = rng.standard_normal((n, DIM), dtype=np.float32)
+    mds = [{"tag": f"t{i % 3}", "i": i} for i in range(n)]
+    ids = engine.bulk_insert("c1", vecs, mds, ext_ids=[f"b{i}" for i in range(n)])
+    assert len(ids) == n and ids[5] == "b5"
+    assert engine.collection_info("c1")["size"] == n
+    hits = engine.vector_search("c1", vecs[42], top_k=3)
+    assert hits[0].id == "b42" and hits[0].metadata["i"] == 42
+    # filter search over bulk metadata
+    hits = engine.filter_search("c1", {"tag": "t1"}, top_k=5, vector=vecs[1])
+    assert hits and all(h.metadata["tag"] == "t1" for h in hits)
+
+
+def test_bulk_insert_nonempty_falls_back(engine, rng):
+    engine.create_collection(_spec())
+    _fill(engine, rng, n=5)
+    vecs = rng.standard_normal((4, DIM), dtype=np.float32)
+    ids = engine.bulk_insert("c1", vecs, ext_ids=[f"x{i}" for i in range(4)])
+    assert engine.collection_info("c1")["size"] == 9
+    hits = engine.vector_search("c1", vecs[2], top_k=1)
+    assert hits[0].id == "x2"
+
+
+def test_bulk_insert_survives_restart(tmp_path, rng):
+    data = str(tmp_path / "data")
+    e = CoreEngine(data)
+    e.create_collection(_spec())
+    vecs = rng.standard_normal((50, DIM), dtype=np.float32)
+    e.bulk_insert("c1", vecs, ext_ids=[f"r{i}" for i in range(50)])
+    e.kv.close()  # crash: no snapshot written
+
+    e2 = CoreEngine(data)
+    e2.load_collection("c1")  # replays the commit log
+    hits = e2.vector_search("c1", vecs[7], top_k=1)
+    assert hits[0].id == "r7"
+    e2.close()
+
+
+def test_bulk_insert_validation(engine, rng):
+    engine.create_collection(_spec())
+    with pytest.raises(EngineError):
+        engine.bulk_insert("c1", rng.standard_normal((3, DIM + 1)).astype(np.float32))
+    with pytest.raises(EngineError):
+        engine.bulk_insert(
+            "c1", rng.standard_normal((2, DIM)).astype(np.float32),
+            ext_ids=["a", "a"],
+        )
