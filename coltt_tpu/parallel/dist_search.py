@@ -26,7 +26,8 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from coltt_tpu.ops.distance import Metric
+from coltt_tpu.ops.distance import Metric, scan_distances
+from coltt_tpu.ops.pq import PQCodebook, pq_encode, pq_scan_neg_topk, train_pq
 from coltt_tpu.ops.quant import Quantization, dequantize, quantize, storage_dtype
 from coltt_tpu.ops.score import normalize_score
 from coltt_tpu.ops.topk import scan_neg_topk
@@ -108,6 +109,204 @@ def sharded_scan_topk(
     negd, ids = fn(codes, scale, sqnorm, valid, queries)
     score = jnp.where(jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric))
     return score, ids
+
+
+def _merge_partials(negd, ids, local_n, k):
+    """Shared collective tail: localize ids -> all_gather -> final top-k."""
+    shard_idx = lax.axis_index(SHARD_AXIS)
+    ids = ids + shard_idx * local_n
+    all_negd = lax.all_gather(negd, SHARD_AXIS, axis=1, tiled=True)
+    all_ids = lax.all_gather(ids, SHARD_AXIS, axis=1, tiled=True)
+    kk = min(k, all_negd.shape[1])
+    mneg, sel = lax.top_k(all_negd, kk)
+    return mneg, jnp.take_along_axis(all_ids, sel, axis=1)
+
+
+def _local_pq_scan_merge(codes, centroids, sqnorm, valid, queries, *,
+                         k, metric, compute_dtype):
+    """Per-device PQ ADC scan -> collective top-k merge (BASELINE config #4:
+    PQ codebook search with continuous query batching, sharded)."""
+    negd, ids = pq_scan_neg_topk(
+        queries, codes, centroids, sqnorm, valid,
+        k=k, metric=metric, compute_dtype=compute_dtype,
+    )
+    return _merge_partials(negd, ids, codes.shape[0], k)
+
+
+@partial(jax.jit, static_argnames=("mesh", "k", "metric", "compute_dtype"))
+def sharded_pq_topk(
+    mesh: Mesh,
+    codes,
+    centroids,
+    sqnorm,
+    valid,
+    queries,
+    *,
+    k: int,
+    metric: Metric = Metric.COSINE,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Global top-k over row-sharded PQ codes; codebook is replicated.
+
+    Returns (scores [Q, k] on the 0-100 scale, global ids [Q, k]).
+    """
+    metric = Metric.parse(metric)
+    if mesh.size == 1:
+        negd, ids = pq_scan_neg_topk(
+            queries, codes, centroids, sqnorm, valid,
+            k=k, metric=metric, compute_dtype=compute_dtype,
+        )
+    else:
+        fn = jax.shard_map(
+            partial(
+                _local_pq_scan_merge,
+                k=k, metric=metric, compute_dtype=compute_dtype,
+            ),
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(), P(SHARD_AXIS), P(SHARD_AXIS),
+                      P(BATCH_AXIS)),
+            out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+            check_vma=False,
+        )
+        negd, ids = fn(codes, centroids, sqnorm, valid, queries)
+    score = jnp.where(jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric))
+    return score, ids
+
+
+def _cflat_scores(field_state, queries, ratios, valid, *, metric, compute_dtype):
+    """Batched CFLAT scoring: Σ_f ratio_f * normalize(dist_f) -> [Q, N]."""
+    total = None
+    for (codes, scale, sqnorm), q, r in zip(field_state, queries, ratios):
+        dist = scan_distances(
+            q, codes, scale, sqnorm, None,
+            metric=metric, compute_dtype=compute_dtype,
+        )  # [Q, N]
+        contrib = normalize_score(dist, metric) * r
+        total = contrib if total is None else total + contrib
+    return jnp.where(valid.reshape(1, -1), total, -jnp.inf)
+
+
+def _local_cflat_merge(codes_scale_sqn, valid, queries, ratios, *,
+                       k, metric, compute_dtype):
+    total = _cflat_scores(
+        codes_scale_sqn, queries, ratios, valid,
+        metric=metric, compute_dtype=compute_dtype,
+    )
+    kk = min(k, total.shape[1])
+    vals, ids = lax.top_k(total, kk)
+    return _merge_partials(vals, ids.astype(jnp.int32), valid.shape[0], k)
+
+
+@partial(jax.jit, static_argnames=("mesh", "k", "metric", "compute_dtype"))
+def sharded_cflat_topk(
+    mesh: Mesh,
+    field_state,   # tuple of (codes [N,Df], scale [N,1]|None, sqnorm [N])
+    valid,
+    queries,       # tuple of [Q, Df] f32, parallel to field_state
+    ratios,        # tuple of scalar f32 (already /100)
+    *,
+    k: int,
+    metric: Metric = Metric.COSINE,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array]:
+    """CFLAT weighted multi-vector search over a row-sharded corpus
+    (BASELINE config #5): every field's scan is local to the shard; the
+    weighted score sum ranks locally and one tiny collective merges.
+    Returns (scores [Q, k], global ids [Q, k]); scores are already the
+    0-100 weighted sums (ranking key == reference's, multi_vector_vertex.go
+    :113-121)."""
+    metric = Metric.parse(metric)
+    if mesh.size == 1:
+        total = _cflat_scores(
+            field_state, queries, ratios, valid,
+            metric=metric, compute_dtype=compute_dtype,
+        )
+        kk = min(k, total.shape[1])
+        return lax.top_k(total, kk)
+    nf = len(field_state)
+    fn = jax.shard_map(
+        partial(
+            _local_cflat_merge,
+            k=k, metric=metric, compute_dtype=compute_dtype,
+        ),
+        mesh=mesh,
+        in_specs=(
+            tuple(
+                (P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS))
+                for _ in range(nf)
+            ),
+            P(SHARD_AXIS),
+            tuple(P(BATCH_AXIS) for _ in range(nf)),
+            tuple(P() for _ in range(nf)),
+        ),
+        out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+        check_vma=False,
+    )
+    return fn(field_state, valid, queries, ratios)
+
+
+class DistributedPQIndex:
+    """Row-sharded PQ index: train once (sampled), encode + shard, serve
+    ADC scans with collective merge. PQ codes at M=dim/8 are ~1 byte per 8
+    floats — what lets a 10M x 768d corpus fit a single chip's HBM
+    (BASELINE config #4)."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        vectors,
+        *,
+        metric: Metric = Metric.COSINE,
+        codebook: Optional[PQCodebook] = None,
+        m: Optional[int] = None,
+        train_sample: int = 65_536,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.mesh = mesh
+        self.metric = Metric.parse(metric)
+        self.compute_dtype = compute_dtype
+        vectors = jnp.asarray(vectors, jnp.float32)
+        n, dim = vectors.shape
+        self.n, self.dim = n, dim
+        if codebook is None:
+            codebook = train_pq(vectors, m=m, sample_size=train_sample)
+        self.codebook = codebook
+
+        n_shards = mesh.shape[SHARD_AXIS]
+        pad = (-n) % n_shards
+        if pad:
+            vectors = jnp.concatenate(
+                [vectors, jnp.zeros((pad, dim), jnp.float32)], axis=0
+            )
+        codes, sqnorm = pq_encode(vectors, codebook)
+        valid = jnp.arange(vectors.shape[0]) < n
+
+        spec = NamedSharding(mesh, P(SHARD_AXIS))
+        self.codes = jax.device_put(codes, spec)
+        self.sqnorm = jax.device_put(sqnorm, spec)
+        self.valid = jax.device_put(valid, spec)
+        self.centroids = jax.device_put(
+            codebook.centroids, NamedSharding(mesh, P())
+        )
+
+    def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        batch = self.mesh.shape[BATCH_AXIS]
+        q = queries.shape[0]
+        pad = (-q) % batch
+        if pad:
+            queries = np.concatenate(
+                [queries, np.zeros((pad, self.dim), np.float32)], axis=0
+            )
+        qspec = NamedSharding(self.mesh, P(BATCH_AXIS))
+        jq = jax.device_put(jnp.asarray(queries), qspec)
+        scores, ids = sharded_pq_topk(
+            self.mesh, self.codes, self.centroids, self.sqnorm, self.valid,
+            jq, k=k, metric=self.metric, compute_dtype=self.compute_dtype,
+        )
+        scores, ids = np.asarray(scores)[:q], np.asarray(ids)[:q]
+        ids = np.where(np.isneginf(scores), -1, ids)
+        return scores, ids
 
 
 class DistributedFlatIndex:

@@ -107,3 +107,85 @@ def test_sharded_store_placement(data):
     store.upsert_many([f"p{i}" for i in range(256)], vecs[:256])
     scores, slots = store.search(vecs[17], k=1)
     assert store.slot_to_pk[int(slots[0, 0])] == "p17"
+
+
+def test_sharded_pq_equals_single_device(data):
+    from coltt_tpu.ops.pq import pq_encode, pq_scan_topk, train_pq
+    from coltt_tpu.parallel.dist_search import DistributedPQIndex
+
+    vecs, qs = data
+    mesh = make_mesh()
+    idx = DistributedPQIndex(mesh, vecs, metric=Metric.COSINE, m=8,
+                             train_sample=2048)
+    s_dist, i_dist = idx.search(qs, k=10)
+
+    codes, sqn = pq_encode(jnp.asarray(vecs), idx.codebook)
+    s_one, i_one = pq_scan_topk(
+        jnp.asarray(qs), codes, idx.codebook, sqn,
+        jnp.ones(len(vecs), bool), k=10, metric=Metric.COSINE,
+    )
+    np.testing.assert_array_equal(i_dist, np.asarray(i_one))
+    np.testing.assert_allclose(s_dist, np.asarray(s_one), atol=1e-3)
+
+
+def test_sharded_pq_recall_on_clustered(rng):
+    """ADC over sharded codes finds true neighbors on clustered data."""
+    from coltt_tpu.parallel.dist_search import DistributedPQIndex
+
+    n, d, nc = 4096, 64, 32
+    centers = rng.standard_normal((nc, d)).astype(np.float32) * 5.0
+    vecs = centers[rng.integers(0, nc, n)] + 0.1 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    mesh = make_mesh()
+    idx = DistributedPQIndex(mesh, vecs, m=8, train_sample=2048)
+    qi = rng.integers(0, n, 8)
+    s, ids = idx.search(vecs[qi] .astype(np.float32), k=1)
+    # PQ reconstructions cluster-collapse; top hit must share the cluster
+    sim = vecs[qi] @ vecs.T
+    for row, q in enumerate(qi):
+        assert ids[row, 0] >= 0
+        got, want = ids[row, 0], int(np.argmax(sim[row]))
+        assert np.dot(vecs[got], vecs[want]) > 0.8 * np.dot(vecs[want], vecs[want])
+
+
+def test_sharded_cflat_equals_store(rng):
+    from coltt_tpu.parallel.dist_search import sharded_cflat_topk
+    from coltt_tpu.store.multivec import MultiVectorStore
+
+    n, d1, d2 = 1024, 32, 16
+    v1 = rng.standard_normal((n, d1)).astype(np.float32)
+    v2 = rng.standard_normal((n, d2)).astype(np.float32)
+    store = MultiVectorStore({"text": d1, "image": d2}, metric=Metric.COSINE)
+    for i in range(n):
+        store.upsert(f"pk{i}", {"text": v1[i], "image": v2[i]})
+    store.sync()
+
+    q1 = rng.standard_normal(d1).astype(np.float32)
+    q2 = rng.standard_normal(d2).astype(np.float32)
+    want_s, want_i = store.search([("text", q1, 60.0), ("image", q2, 40.0)], k=10)
+
+    mesh = make_mesh()
+    spec = shard_spec(mesh)
+    cap = store.capacity
+    field_state = tuple(
+        (jax.device_put(store.codes[f], spec),
+         jax.device_put(store.scale[f], spec),
+         jax.device_put(store.sqnorm[f], spec))
+        for f in ("text", "image")
+    )
+    valid = jax.device_put(store.valid, spec)
+    from coltt_tpu.parallel.mesh import batch_spec
+    bs = batch_spec(mesh)
+    queries = (
+        jax.device_put(jnp.asarray(q1)[None, :], bs),
+        jax.device_put(jnp.asarray(q2)[None, :], bs),
+    )
+    got_s, got_i = sharded_cflat_topk(
+        mesh, field_state, valid, queries,
+        (jnp.float32(0.6), jnp.float32(0.4)),
+        k=10, metric=Metric.COSINE, compute_dtype=jnp.float32,
+    )
+    got_s, got_i = np.asarray(got_s)[0], np.asarray(got_i)[0]
+    np.testing.assert_array_equal(got_i, want_i)
+    np.testing.assert_allclose(got_s, want_s, atol=1e-3)
