@@ -161,6 +161,49 @@ def scan_topk(
     return score, idx
 
 
+def rerank_neg_topk(
+    queries,
+    negd,
+    ids,
+    rr_codes,
+    rr_scale,
+    *,
+    k: int,
+    metric: Metric = Metric.COSINE,
+    compute_dtype=jnp.bfloat16,
+):
+    """Re-score shortlisted candidates against a higher-precision copy.
+
+    ``negd/ids [Q, C]`` come from a (possibly approximate, low-bit) scan;
+    ``rr_codes [N, D]`` is the rerank representation (e.g. bf16 rows —
+    the f8 scan's recall ceiling is storage error, measured 0.94@10 on
+    1M x 768d; reranking the top C=8k candidates through bf16 restores
+    ~fp32 ranking for the price of a [Q, C, D] gather). Returns
+    ``(negdist [Q, k], ids [Q, k])`` on the rerank precision.
+    """
+    metric = Metric.parse(metric)
+    queries = jnp.asarray(queries, jnp.float32)
+    safe = jnp.where(ids >= 0, ids, 0)
+    cand = jnp.take(rr_codes, safe, axis=0)               # [Q, C, D]
+    if rr_scale is not None:
+        cand = cand.astype(jnp.float32) * jnp.take(rr_scale, safe, axis=0)
+    qc = queries.astype(compute_dtype)
+    cc = cand.astype(compute_dtype)
+    dots = jnp.einsum("qd,qcd->qc", qc, cc, preferred_element_type=jnp.float32)
+    csq = jnp.einsum("qcd,qcd->qc", cc, cc, preferred_element_type=jnp.float32)
+    if metric == Metric.COSINE:
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=1, keepdims=True))
+        dist = 1.0 - dots / jnp.maximum(qn * jnp.sqrt(jnp.maximum(csq, 0.0)), 1e-30)
+    else:
+        qsq = jnp.sum(queries * queries, axis=1, keepdims=True)
+        dist = jnp.maximum(qsq + csq - 2.0 * dots, 0.0)
+    # keep the scan's tombstone/padding masking
+    dist = jnp.where(jnp.isfinite(negd), dist, jnp.inf)
+    kk = min(k, dist.shape[1])
+    rneg, sel = lax.top_k(-dist, kk)
+    return rneg, jnp.take_along_axis(ids, sel, axis=1)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def merge_topk(scores_a, ids_a, scores_b, ids_b, *, k: int):
     """Merge two ``[Q, ka] / [Q, kb]`` top-k partials into one ``[Q, k]``.

@@ -189,3 +189,27 @@ def test_sharded_cflat_equals_store(rng):
     got_s, got_i = np.asarray(got_s)[0], np.asarray(got_i)[0]
     np.testing.assert_array_equal(got_i, want_i)
     np.testing.assert_allclose(got_s, want_s, atol=1e-3)
+
+
+def test_rerank_restores_fp32_ranking(rng):
+    """f8 scan + bf16 rerank must match fp32 ground truth better than the
+    raw f8 scan (the headline recall lever)."""
+    from coltt_tpu.ops.topk import compute_recall
+
+    n, d = 8192, 128
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((16, d)).astype(np.float32)
+    sim = (qs @ vecs.T) / np.linalg.norm(vecs, axis=1)
+    truth = np.argsort(-sim, axis=1)[:, :10]
+
+    mesh = make_mesh()
+    raw = DistributedFlatIndex(mesh, vecs, quantization=Quantization.F8)
+    rr = DistributedFlatIndex(
+        mesh, vecs, quantization=Quantization.F8, rerank_dtype=jnp.float32,
+    )
+    _, ids_raw = raw.search(qs, k=10)
+    _, ids_rr = rr.search(qs, k=10, oversample=8)
+    r_raw = compute_recall(ids_raw, truth)
+    r_rr = compute_recall(ids_rr, truth)
+    assert r_rr >= r_raw
+    assert r_rr >= 0.99, f"rerank recall {r_rr} (raw {r_raw})"
