@@ -1,0 +1,99 @@
+"""BASELINE config #3: HNSW graph search, 1M vectors, bf16, batched queries.
+
+Reference anchor: 0.87 ms/query on 1M x 128d, single query at a time
+(UPDATE-LOG.md:142) => ~1150 QPS. Here the graph is built on device with
+``bulk_build`` and searched with the batched beam kernel (bf16 vectors).
+
+Prints ONE JSON line (secondary bench; the driver's headline stays bench.py).
+Run manually on the TPU:  timeout 5400 python -u bench_hnsw.py
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from coltt_tpu.ops.distance import Metric, scan_distances
+    from coltt_tpu.ops.topk import compute_recall
+    from coltt_tpu.store.hnsw import HnswConfig, HnswIndex
+
+    n, d, k = 1_000_000, 128, 10
+    batch = 512
+    depth = 8
+    n_eval = 256
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((n, d), dtype=np.float32)
+
+    idx = HnswIndex(d, metric=Metric.COSINE,
+                    config=HnswConfig(m=16, ef_construction=100, ef=64))
+    t0 = time.perf_counter()
+    idx.bulk_build(vecs, refine_rounds=1)
+    build_s = time.perf_counter() - t0
+    log(f"bulk_build 1M x {d}d: {build_s:.1f}s "
+        f"({n/build_s:.0f} inserts/s; reference one-by-one: ~1.7k/s)")
+
+    eval_q = rng.standard_normal((n_eval, d), dtype=np.float32)
+    q_batches = [rng.standard_normal((batch, d), dtype=np.float32)
+                 for _ in range(depth)]
+
+    # ground truth: exact device scan
+    jv = jnp.asarray(vecs)
+    sqn = jnp.sum(jv * jv, axis=1)
+    dist = scan_distances(jnp.asarray(eval_q), jv, None, sqnorm=sqn,
+                          metric=Metric.COSINE, compute_dtype=jnp.float32)
+    _, gt = jax.lax.top_k(-dist, k)
+    gt = np.asarray(gt)
+    del jv, dist
+
+    t0 = time.perf_counter()
+    idx.search(q_batches[0], k)
+    log(f"warmup (compile): {time.perf_counter()-t0:.1f}s")
+
+    best_qps, lats = 0.0, []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(depth):
+            idx.search(q_batches[i], k)
+        dt = time.perf_counter() - t0
+        best_qps = max(best_qps, depth * batch / dt)
+        lats.append(dt / depth)
+    p50_batch_ms = float(np.median(lats) * 1e3)
+
+    _, ids = idx.search(eval_q, k)
+    recall = compute_recall(ids, gt)
+    log(f"p50 batch latency {p50_batch_ms:.2f} ms; QPS {best_qps:.0f}; "
+        f"recall@10 {recall:.3f}")
+
+    baseline_qps = 1.0 / 0.87e-3  # reference 0.87 ms/query
+    print(json.dumps({
+        "metric": "HNSW bf16 QPS/chip at recall@10 (1M x 128d, batch=512)",
+        "value": round(best_qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(best_qps / baseline_qps, 2),
+        "recall_at_10": round(float(recall), 4),
+        "p50_batch_latency_ms": round(p50_batch_ms, 3),
+        "build_seconds": round(build_s, 1),
+        "devices": len(jax.devices()),
+    }))
+
+
+if __name__ == "__main__":
+    main()

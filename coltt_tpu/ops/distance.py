@@ -51,6 +51,23 @@ _EPS = 1e-30
 
 def _dot_scores(queries, codes, scale, compute_dtype):
     """(queries @ dequant(codes).T) with f32 accumulation: [Q, N]."""
+    if codes.dtype == jnp.int8:
+        # int8 MXU path (~1.6x the bf16 rate on v5e): queries are quantized
+        # per-row symmetric int8 on the fly; both scales fold into the f32
+        # epilogue. Query rounding error is ~1/254 relative — below the
+        # stored-row quantization error and removed entirely by rerank.
+        qmax = jnp.max(jnp.abs(queries), axis=-1, keepdims=True)
+        qscale = jnp.where(qmax > 0, qmax / 127.0, 1.0)
+        qi = jnp.round(queries / qscale).clip(-127, 127).astype(jnp.int8)
+        dots = lax.dot_general(
+            qi,
+            codes,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * qscale
+        if scale is not None:
+            dots = dots * scale.reshape(1, -1)
+        return dots
     if compute_dtype == jnp.float32:
         dots = lax.dot_general(
             queries.astype(jnp.float32),

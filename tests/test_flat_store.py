@@ -85,7 +85,10 @@ def test_filtered_search_gather_and_mask(rng):
     assert (slots == -1).all() and np.isneginf(scores).all()
 
 
-@pytest.mark.parametrize("q", [Quantization.F16, Quantization.BF16, Quantization.F8])
+@pytest.mark.parametrize(
+    "q",
+    [Quantization.F16, Quantization.BF16, Quantization.F8, Quantization.I8],
+)
 def test_quantized_self_retrieval(q, rng):
     store, vecs = _mk(rng, n=128, dim=64, q=q)
     scores, slots = store.search(vecs[:8], k=1)

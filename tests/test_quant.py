@@ -24,7 +24,10 @@ def _score(x, y):
     return float(normalize_score(d, Metric.COSINE))
 
 
-@pytest.mark.parametrize("q", [Quantization.F16, Quantization.BF16, Quantization.F8])
+@pytest.mark.parametrize(
+    "q",
+    [Quantization.F16, Quantization.BF16, Quantization.F8, Quantization.I8],
+)
 @pytest.mark.parametrize("dim", DIMS)
 def test_cosine_score_delta_under_one_point(q, dim, rng):
     xs = rng.standard_normal((PAIRS, dim), dtype=np.float32)
@@ -43,7 +46,9 @@ def test_cosine_score_delta_under_one_point(q, dim, rng):
 
 
 @pytest.mark.parametrize(
-    "q", [Quantization.NONE, Quantization.F16, Quantization.BF16, Quantization.F8]
+    "q",
+    [Quantization.NONE, Quantization.F16, Quantization.BF16, Quantization.F8,
+     Quantization.I8],
 )
 def test_roundtrip_shape_and_dtype(q, rng):
     x = rng.standard_normal((10, 64), dtype=np.float32)
@@ -53,7 +58,7 @@ def test_roundtrip_shape_and_dtype(q, rng):
     assert scale.shape == (10, 1)
     out = np.asarray(dequantize(codes, scale))
     rel = np.abs(out - x).max() / np.abs(x).max()
-    tol = {"NONE": 0.0, "F16": 1e-3, "BF16": 1e-1, "F8": 0.2}[q.name]
+    tol = {"NONE": 0.0, "F16": 1e-3, "BF16": 1e-1, "F8": 0.2, "I8": 0.05}[q.name]
     assert rel <= tol
 
 
