@@ -41,7 +41,7 @@ def main():
 
     n, d, k = 1_000_000, 768, 10
     batch = 2048  # MXU utilization rises with Q (89k->114k QPS bf16-matmul-only
-    # from Q=512->2048 measured on v5e); the int8 MXU path adds another 1.6x
+    # from Q=512->2048 measured on v5e); the int8 MXU path adds another 2x
     depth = 8  # pipelined dispatches per measurement
 
     log(f"devices: {jax.devices()}")
@@ -55,22 +55,22 @@ def main():
     qspec = NamedSharding(mesh, P(BATCH_AXIS))
     t0 = time.perf_counter()
     idx = DistributedFlatIndex(mesh, vecs, metric=Metric.COSINE,
-                               quantization=Quantization.F8,
+                               quantization=Quantization.I8,
                                rerank_dtype=jnp.bfloat16)
-    log(f"ingest+quantize 1M x 768 f8 (+bf16 rerank copy): {time.perf_counter()-t0:.1f}s")
+    log(f"ingest+quantize 1M x 768 i8 (+bf16 rerank copy): {time.perf_counter()-t0:.1f}s")
 
-    # serving scan: ApproxTopK selection at recall_target 0.95 over the f8
-    # codes shortlists k*4 rows; a bf16 rerank of the gathered shortlist
-    # restores ~fp32 ranking (storage error, not selection, is the recall
-    # ceiling: ~0.94 raw -> ~0.99 reranked). Config chosen by measurement
-    # (v5e, Q=2048): rt=0.99/os=4 -> 83k QPS @ .994; rt=0.95/os=4 -> 98.5k
-    # @ .990; rt=0.95/os=8 -> 88.5k @ .993; i8 scan loses its 1.6x matmul
-    # advantage to an unfused selection pass (24.1 vs 20.8 ms/batch).
+    # serving scan: the Pallas fused kernel (ops/scan_pallas.py) — int8 MXU
+    # matmul (2x the bf16 rate), in-VMEM bin selection (one survivor per 16
+    # rows, no [Q, N] HBM materialization), ApproxTopK over the survivors —
+    # shortlists k*4 rows; a bf16 rerank of the gathered shortlist restores
+    # ~fp32 ranking (storage error, not selection, is the recall ceiling).
+    # Measured v5e, Q=2048: XLA f8 rt=0.95/os=4 -> 94.2k QPS @ .984;
+    # fused i8 os=4 -> 130.6k QPS @ .984 (15.7 ms/batch).
     def dispatch(q_dev):
         return sharded_scan_topk(
             mesh, idx.codes, idx.scale, idx.sqnorm, idx.valid, q_dev,
             k=k, metric=idx.metric, compute_dtype=idx.compute_dtype,
-            approx_recall=0.95,
+            fused=True,
             rr_codes=idx.rr_codes, oversample=4,
         )
 
@@ -117,15 +117,15 @@ def main():
                                   quantization=Quantization.NONE)
     gq = np.asarray(jax.device_get(q_batches[depth]))[:64]
     _, gt_ids = gt_idx.search(gq, k)
-    _, f8_ids = idx.search(gq, k, approx_recall=0.95, oversample=4)
+    _, i8_ids = idx.search(gq, k, fused=True, oversample=4)
     recall = float(
-        np.mean([len(set(gt_ids[i]) & set(f8_ids[i])) / k for i in range(len(gq))])
+        np.mean([len(set(gt_ids[i]) & set(i8_ids[i])) / k for i in range(len(gq))])
     )
     log(f"recall@10 vs fp32: {recall:.3f}")
 
     baseline_qps = 40.0  # 1/0.025s, reference highCpu FLAT (BASELINE.md)
     print(json.dumps({
-        "metric": "FLAT f8+bf16-rerank QPS/chip at recall@10 (1M x 768d, batch=2048, pipelined)",
+        "metric": "FLAT fused-i8+bf16-rerank QPS/chip at recall@10 (1M x 768d, batch=2048, pipelined)",
         "value": round(float(best_qps), 1),
         "unit": "qps",
         "vs_baseline": round(float(best_qps) / baseline_qps, 2),

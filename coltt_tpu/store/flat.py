@@ -60,6 +60,8 @@ from coltt_tpu.ops.pq import (
     train_pq,
 )
 from coltt_tpu.ops.quant import Quantization, dequantize, quantize, storage_dtype
+from coltt_tpu.ops.scan_pallas import fused_scan_topk
+from coltt_tpu.ops.scan_pallas import supports as fused_supports
 from coltt_tpu.ops.topk import scan_topk
 
 _CAPACITY_QUANTUM = 8192
@@ -504,12 +506,16 @@ class FlatStore:
         candidates: Optional[np.ndarray] = None,
         metric: Optional[Metric] = None,
         approx_recall: Optional[float] = None,
+        fused: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k scan. Returns ``(scores [Q,k], slots [Q,k])``; empty slots
         carry score -inf. ``candidates`` is an optional dense int32 array of
         allowed slots (from the inverted index) — the filtered path.
         ``approx_recall`` selects ApproxTopK at that recall target (~4x
-        scan throughput at 0.99 on 1M x 768; see ops.topk)."""
+        scan throughput at 0.99 on 1M x 768; see ops.topk). ``fused``
+        selects the Pallas fused scan kernel (ops/scan_pallas.py — the
+        int8 MXU path when the store is I8-quantized; falls back to the
+        XLA path where the kernel's shape rules don't hold)."""
         self.sync()
         metric = self.metric if metric is None else Metric.parse(metric)
         queries = np.atleast_2d(np.asarray(queries, np.float32))
@@ -544,6 +550,14 @@ class FlatStore:
                 )
             scores, slots = pq_scan_topk(
                 jnp.asarray(queries), self.codes, self.codebook, self.sqnorm,
+                valid, k=min(k, self.capacity), metric=metric,
+                compute_dtype=self.compute_dtype,
+            )
+        elif fused and fused_supports(
+            self.capacity, self.dim, metric, self.codes.dtype
+        ):
+            scores, slots = fused_scan_topk(
+                jnp.asarray(queries), self.codes, self.scale, self.sqnorm,
                 valid, k=min(k, self.capacity), metric=metric,
                 compute_dtype=self.compute_dtype,
             )

@@ -213,3 +213,22 @@ def test_rerank_restores_fp32_ranking(rng):
     r_rr = compute_recall(ids_rr, truth)
     assert r_rr >= r_raw
     assert r_rr >= 0.99, f"rerank recall {r_rr} (raw {r_raw})"
+
+
+@pytest.mark.parametrize("quant", [Quantization.I8, Quantization.F8])
+def test_fused_sharded_matches_xla(rng, quant):
+    """The fused Pallas local scan under shard_map (the headline serving
+    config) must agree with the XLA sharded scan up to bin collisions."""
+    from coltt_tpu.ops.topk import compute_recall
+
+    n, d = 16384, 128
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((16, d)).astype(np.float32)
+
+    mesh = make_mesh()
+    idx = DistributedFlatIndex(
+        mesh, vecs, quantization=quant, rerank_dtype=jnp.float32,
+    )
+    _, ids_xla = idx.search(qs, k=10, oversample=8)
+    _, ids_fused = idx.search(qs, k=10, oversample=8, fused=True)
+    assert compute_recall(ids_fused, ids_xla) >= 0.9

@@ -74,6 +74,43 @@ def test_fused_overlap_on_random(rng, metric):
         assert len(overlap) >= K - 1  # at most one bin collision plausible
 
 
+@pytest.mark.parametrize("metric", [Metric.COSINE, Metric.EUCLIDEAN])
+def test_fused_int8_path_overlap(rng, metric):
+    """int8 codes take the s8 MXU path (queries quantized on the fly)."""
+    vecs = rng.standard_normal((N, D)).astype(np.float32)
+    codes, scale = quantize(jnp.asarray(vecs), Quantization.I8)
+    deq = dequantize(codes, scale)
+    sqnorm = jnp.sum(deq * deq, axis=1)
+    q = rng.standard_normal((4, D)).astype(np.float32)
+    valid = jnp.ones((N,), bool)
+    s_exact, i_exact = scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=K, metric=metric)
+    s_fused, i_fused = fused_scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=K, metric=metric)
+    for r in range(4):
+        overlap = set(np.asarray(i_fused)[r].tolist()) & set(
+            np.asarray(i_exact)[r].tolist())
+        # bin collisions + query-quantization rank flips near the boundary
+        assert len(overlap) >= K - 2
+    # scores agree to int8 precision on the common hits
+    np.testing.assert_allclose(
+        np.asarray(s_fused)[:, 0], np.asarray(s_exact)[:, 0],
+        rtol=2e-2, atol=5e-1)
+
+
+def test_fused_large_batch_query_blocking(rng):
+    """Q > _QBLOCK exercises the 2D grid (query-block axis)."""
+    vecs, codes, scale, sqnorm = _store(rng, n=2048)
+    q = rng.standard_normal((520, D)).astype(np.float32)
+    valid = jnp.ones((2048,), bool)
+    s_exact, i_exact = scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=1)
+    s_fused, i_fused = fused_scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=1)
+    match = (np.asarray(i_fused)[:, 0] == np.asarray(i_exact)[:, 0]).mean()
+    assert match > 0.95  # top-1 is bin-collision-free by construction
+
+
 def test_fused_respects_tombstones(rng):
     vecs, codes, scale, sqnorm = _store(rng)
     q = vecs[7:8]
