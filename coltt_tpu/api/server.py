@@ -504,7 +504,11 @@ def build_servicer(mode: str, cfg: Config):
     from coltt_tpu.storage.objectstore import LocalObjectStore
 
     if mode == "edge":
-        return EdgeServicer(EdgeEngine(LocalObjectStore(cfg.storage.object_store_root)))
+        return EdgeServicer(EdgeEngine(
+            LocalObjectStore(cfg.storage.object_store_root),
+            batch_max=cfg.serving.scan_batch_max,
+            batch_wait_s=cfg.serving.scan_batch_wait_ms / 1e3,
+        ))
     if mode in ("root", "core"):
         return CoreServicer(CoreEngine(cfg.storage.data_dir))
     if mode == "experimental":
@@ -515,8 +519,16 @@ def build_servicer(mode: str, cfg: Config):
 
 
 def create_server(
-    servicer, cfg: Optional[Config] = None, *, max_workers: int = 16
+    servicer, cfg: Optional[Config] = None, *, max_workers: Optional[int] = None
 ) -> grpc.Server:
+    if max_workers is None:
+        # worker threads mostly BLOCK in the scan batcher (engine/batcher.py)
+        # waiting for a coalesced device scan — the pool size caps how many
+        # requests can share one scan, so it must exceed the wait-window's
+        # arrival count, not the CPU count
+        max_workers = max(
+            64, cfg.serving.scan_batch_max // 8 if cfg else 0
+        )
     cfg = cfg or Config()
     rl = cfg.root_layer
     options = [

@@ -27,6 +27,7 @@ from typing import Any, Dict, List, Optional
 import msgpack
 import numpy as np
 
+from coltt_tpu.engine.batcher import ScanBatcher
 from coltt_tpu.engine.errors import EngineError, ErrorCode
 from coltt_tpu.engine.state import CollectionStateManager
 from coltt_tpu.index.bitmap import InvertedIndex
@@ -62,11 +63,23 @@ class SearchHit:
 
 
 class EdgeEngine:
-    def __init__(self, object_store: LocalObjectStore):
+    def __init__(
+        self,
+        object_store: LocalObjectStore,
+        *,
+        batch_max: int = 2048,
+        batch_wait_s: float = 0.002,
+    ):
         self.objects = object_store
         self.state = CollectionStateManager()
         self._collections: Dict[str, _EdgeCollection] = {}
         self._mu = threading.RLock()
+        # cross-request scan coalescing (engine/batcher.py); batch_max<=1
+        # disables it (every request scans alone, reference behavior)
+        self._batcher = (
+            ScanBatcher(max_batch=batch_max, max_wait_s=batch_wait_s)
+            if batch_max > 1 else None
+        )
         # LoadAuthorizationBuckets parity (edge/edge_helper.go:31-44):
         # discover existing collections from the object store at boot
         for bucket in self.objects.list_buckets():
@@ -244,8 +257,10 @@ class EdgeEngine:
     ) -> List[SearchHit]:
         """``high_resource`` (the reference's highCpu goroutine fan-out
         toggle, edge/f16_vectorstore.go:138) here selects the high-throughput
-        ApproxTopK scan (recall_target 0.99 — ~4x QPS on 1M x 768d; see
-        ops.topk.scan_neg_topk). The default scan is exact."""
+        scan: the fused Pallas kernel where the store shape supports it
+        (int8 MXU + in-VMEM bin selection, ops/scan_pallas.py) with an
+        ApproxTopK fallback (recall_target 0.99). The default scan is
+        exact."""
         with self._mu:
             self.state.require_loaded(name)
             col = self._collections[name]
@@ -260,10 +275,24 @@ class EdgeEngine:
             candidates = col.inverted.search(filter_expression).ids()
 
         t0 = time.perf_counter()
-        scores, slots = col.store.search(
-            vector, k=k, candidates=candidates,
-            approx_recall=0.99 if high_resource else None,
-        )
+        approx = 0.99 if high_resource else None
+        if candidates is None and self._batcher is not None:
+            # coalesce with concurrent unfiltered searches on this store —
+            # one stacked device scan serves the whole group
+            def scan_fn(queries, kk):
+                return col.store.search(
+                    queries, k=kk, approx_recall=approx, fused=high_resource,
+                )
+
+            scores, slots = self._batcher.run(
+                (name, id(col.store), bool(high_resource)),
+                scan_fn, vector, k,
+            )
+        else:
+            scores, slots = col.store.search(
+                vector, k=k, candidates=candidates,
+                approx_recall=approx, fused=high_resource,
+            )
         latency = time.perf_counter() - t0
 
         hits: List[SearchHit] = []

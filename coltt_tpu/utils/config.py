@@ -46,6 +46,17 @@ class MeshConfig:
 
 
 @dataclass
+class ServingConfig:
+    """Cross-request scan coalescing (engine/batcher.py): concurrent
+    unfiltered searches on one collection share a single device scan.
+    ``scan_batch_max <= 1`` disables it (reference behavior: one scan per
+    request)."""
+
+    scan_batch_max: int = 2048
+    scan_batch_wait_ms: float = 2.0
+
+
+@dataclass
 class Config:
     node_id: int = 0
     standalone: bool = True
@@ -53,6 +64,7 @@ class Config:
     root_layer: RootLayerConfig = field(default_factory=RootLayerConfig)
     storage: StorageConfig = field(default_factory=StorageConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    serving: ServingConfig = field(default_factory=ServingConfig)
 
 
 def _apply_dict(obj, d: dict):
@@ -82,6 +94,8 @@ def _apply_env(obj, prefix: str):
             setattr(obj, f.name, raw.lower() in ("1", "true", "yes", "on"))
         elif t is int:
             setattr(obj, f.name, int(raw))
+        elif t is float:
+            setattr(obj, f.name, float(raw))
         else:
             setattr(obj, f.name, raw)
 
