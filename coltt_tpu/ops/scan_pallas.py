@@ -10,8 +10,14 @@ Why a kernel instead of XLA: the jnp scan (ops/topk.py) materializes the
 ``[Q, N]`` f32 score matrix in HBM — at Q=2048, N=1M that is 8 GB of HBM
 write+read per batch, several times the size of the (int8) corpus itself.
 This kernel keeps each score tile in VMEM and reduces it on the VPU to one
-``(max, argmax)`` survivor per 16-row bin, so only ``[Q, N/16]`` candidates
-ever reach HBM (64x less); a small selection pass finishes off.
+survivor per bin (16 or 32 rows), so only ``[Q, N/bin]`` f32 words ever
+reach HBM (64-128x less); a small selection pass finishes off. The
+survivor is a single packed f32: the bin's slice index rides in the low
+mantissa bits (a ~2^-18 relative perturbation, far below quantization
+error), so the reduction is a plain ``maximum`` tree, the kernel writes
+ONE output instead of a (vals, ids) pair, and the winner's row id is
+reconstructed bit-wise after the final top-k — no [Q, N/bin] id array,
+no gather.
 
 Three design rules keep the kernel on the hardware's fast paths (each
 measured on v5e at Q=2048, N=1M, D=768):
@@ -20,9 +26,11 @@ measured on v5e at Q=2048, N=1M, D=768):
   matmul floor): the dot runs s8 x s8 -> s32 and both quantization scales
   fold into one f32 FMA.
 - **no cross-lane reductions in the epilogue.** The bin reduction is a
-  compare/select loop over 16 slices of 128 lanes — pure elementwise VPU
-  work (~4.8 ms). The "obvious" formulation (reshape to [..., 128] bins +
-  max/argmax along the lane axis) costs 30+ ms in shuffle cascades.
+  pack+maximum loop over the chunk's 128-lane slices — pure elementwise
+  VPU work. The "obvious" formulation (reshape to [..., 128] bins +
+  max/argmax along the lane axis) costs 30+ ms in shuffle cascades, and
+  the earlier (max, argmax) compare/select pair costs an extra output
+  stream; packing the slice index into the mantissa keeps it to one.
 - **per-query factors leave the kernel**: anything affine per query
   (query norm, query squared-norm, the int8 query scale) preserves ranking
   within that query, so it is applied to the ``[Q, k]`` winners after the
@@ -32,18 +40,21 @@ measured on v5e at Q=2048, N=1M, D=768):
   multiplier) rather than per-query scales.
 
 The reduction is approximate in the same sense as XLA's ApproxTopK /
-the TPU-KNN recipe (arXiv:2206.14286): one survivor per 16-row bin, so two
+the TPU-KNN recipe (arXiv:2206.14286): one survivor per bin, so two
 true top-k rows colliding in one bin lose the weaker one (pair collision
-probability 16/N — at k=10, N=1M the expected recall impact is <0.1%).
-``final="approx"`` additionally selects over the [Q, N/16] survivors with
+probability bin/N — at k=10, bin=32, N=1M the expected recall impact is
+<0.2%, recovered by the rerank stage's oversampling).
+``final="approx"`` additionally selects over the [Q, N/bin] survivors with
 XLA's ApproxTopK (another ~2x end-to-end; default at serving sizes), while
 ``final="exact"`` runs a full ``lax.top_k``. Stores keep the exact XLA
 path as default and expose this kernel as the ``fused`` search mode.
 
-Kernel shape rules: D % 128 == 0, N % chunk (2048) == 0 (stores allocate
-in 8192 quanta), queries padded per the block size below. Cosine and
-(squared) euclidean only — both reduce to one MXU contraction with a
-per-row FMA epilogue folded in (scale, rsqrt-norm, tombstone penalty).
+Kernel shape rules: D % 128 == 0, N % chunk == 0 where chunk is 4096 when
+N allows it, else 2048 (stores allocate in 8192 quanta so production
+stores always take the 4096 path), queries padded per the block size
+below. Cosine and (squared) euclidean only — both reduce to one MXU
+contraction with a per-row FMA epilogue folded in (scale, rsqrt-norm,
+tombstone penalty).
 """
 
 from __future__ import annotations
@@ -60,22 +71,31 @@ from jax.experimental.pallas import tpu as pltpu
 from coltt_tpu.ops.distance import Metric
 from coltt_tpu.ops.score import normalize_score
 
-BIN_ROWS = 16     # rows per candidate bin (one survivor per bin)
+BIN_ROWS = 32     # max rows per candidate bin (chunk // _LANES; 16 at
+                  # chunk=2048, 32 at chunk=4096 — tests space plants by this)
 _LANES = 128      # survivors per chunk = lanes of the reduction tile
-_CHUNK = 2048     # rows per grid step: [qblock, chunk] f32 scores in VMEM
-_QBLOCK = 512     # max query rows per grid step (512*2048*4 = 4 MB scores)
+_CHUNK = 2048     # minimum chunk (shape-rule quantum); 4096 used when N allows
+_QBLOCK = 512     # max query rows per grid step
+# tombstoned rows get a large finite negative instead of -inf: packing ORs
+# bits into the mantissa, and -inf|bits would be NaN. Anything below
+# _INVALID_CUT is reported as -inf after selection.
+_PENALTY = jnp.float32(-3.0e38)
+_INVALID_CUT = -1.0e30
 
 
-def _kernel(q_ref, c_ref, rowmul_ref, rowadd_ref, vals_ref, ids_ref, *,
+def _kernel(q_ref, c_ref, rowmul_ref, rowadd_ref, out_ref, *,
             compute_dtype, chunk):
-    """One grid step: score a [qblock, chunk] tile, keep per-bin max+argmax.
+    """One grid step: score a [qblock, chunk] tile, keep one packed
+    survivor per bin.
 
     ``rowmul``/``rowadd`` are per-row (corpus) factors; per-query factors
     are applied by the caller after the final top-k (see module docstring).
-    The bin reduction runs as an elementwise compare/select over the 16
-    column slices — never across lanes.
+    The bin reduction packs each 128-lane slice's index into the low
+    mantissa bits and takes an elementwise ``maximum`` over the slices —
+    never across lanes, one output stream.
     """
-    i = pl.program_id(0)
+    nsl = chunk // _LANES
+    mask = jnp.int32(-nsl)  # clears the low log2(nsl) mantissa bits
     if c_ref.dtype == jnp.int8:
         dots = lax.dot_general(
             q_ref[:],
@@ -92,19 +112,14 @@ def _kernel(q_ref, c_ref, rowmul_ref, rowadd_ref, vals_ref, ids_ref, *,
         )
     val = dots * rowmul_ref[:] + rowadd_ref[:]
 
-    qb = val.shape[0]
-    m = val[:, :_LANES]
-    a = jnp.zeros((qb, _LANES), jnp.int32)
-    for s in range(1, chunk // _LANES):
-        sl = val[:, s * _LANES:(s + 1) * _LANES]
-        upd = sl > m
-        m = jnp.where(upd, sl, m)
-        a = jnp.where(upd, s, a)
-    lane = lax.broadcasted_iota(jnp.int32, (qb, _LANES), 1)
-    # outputs are [lanes, qb] (transposed): Mosaic wants >=(8, 128) blocks
-    # and qb in the lane dim keeps the store legal for any qb >= 8
-    vals_ref[:] = m.T
-    ids_ref[:] = (i * chunk + a * _LANES + lane).T
+    def pack(x, s):
+        b = lax.bitcast_convert_type(x, jnp.int32)
+        return lax.bitcast_convert_type((b & mask) | s, jnp.float32)
+
+    m = pack(val[:, :_LANES], 0)
+    for s in range(1, nsl):
+        m = jnp.maximum(m, pack(val[:, s * _LANES:(s + 1) * _LANES], s))
+    out_ref[:] = m
 
 
 @functools.partial(
@@ -112,15 +127,17 @@ def _kernel(q_ref, c_ref, rowmul_ref, rowadd_ref, vals_ref, ids_ref, *,
 )
 def _binmax_scan(queries, codes, rowmul, rowadd, *,
                  compute_dtype, chunk, qblock):
-    """Grid scan -> per-bin (max, argmax): ([qp, nbins], [qp, nbins]).
+    """Grid scan -> packed per-bin max: [qp, nbins] f32.
 
     Grid is (row chunks, query blocks) with query blocks minor, so each
     codes tile is fetched from HBM once and reused across all query blocks.
+    Column ``c`` of the output is chunk ``c // 128``, lane ``c % 128``; the
+    winning slice index is in the low mantissa bits (see module docstring).
     """
     qp, d = queries.shape
     n = codes.shape[0]
     nchunks = n // chunk
-    nbins = n // BIN_ROWS
+    nbins = nchunks * _LANES
     qblocks = qp // qblock
 
     grid_spec = pl.GridSpec(
@@ -136,31 +153,29 @@ def _binmax_scan(queries, codes, rowmul, rowadd, *,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_LANES, qblock), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LANES, qblock), lambda i, j: (i, j),
+            pl.BlockSpec((qblock, _LANES), lambda i, j: (j, i),
                          memory_space=pltpu.VMEM),
         ],
     )
     kernel = functools.partial(
         _kernel, compute_dtype=compute_dtype, chunk=chunk
     )
-    vals_t, ids_t = pl.pallas_call(
+    (vals,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         # CPU (test) backend runs the kernel interpreted; TPU compiles Mosaic
         interpret=jax.default_backend() == "cpu",
         out_shape=[
-            jax.ShapeDtypeStruct((nbins, qp), jnp.float32),
-            jax.ShapeDtypeStruct((nbins, qp), jnp.int32),
+            jax.ShapeDtypeStruct((qp, nbins), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * qp * d * n,
-            bytes_accessed=n * d * codes.dtype.itemsize + qp * d * 4,
+            bytes_accessed=n * d * codes.dtype.itemsize + qp * d * 4
+            + qp * nbins * 4,
             transcendentals=0,
         ),
     )(queries, codes, rowmul, rowadd)
-    return vals_t.T, ids_t.T
+    return vals
 
 
 def supports(n: int, dim: int, metric, dtype) -> bool:
@@ -212,6 +227,7 @@ def fused_scan_neg_topk(
     q, d = queries.shape
     n = codes.shape[0]
     int8 = codes.dtype == jnp.int8
+    chunk = 2 * _CHUNK if n % (2 * _CHUNK) == 0 else _CHUNK
 
     qp, qblock = _pick_qblock(q, 32 if int8 else 8)
     if qp != q:
@@ -219,7 +235,7 @@ def fused_scan_neg_topk(
 
     scale_row = (jnp.ones((n,), jnp.float32) if scale is None
                  else scale.reshape(n))
-    penalty = jnp.where(valid, 0.0, -jnp.inf) if valid is not None else (
+    penalty = jnp.where(valid, 0.0, _PENALTY) if valid is not None else (
         jnp.zeros((n,), jnp.float32))
 
     if int8:
@@ -251,9 +267,9 @@ def fused_scan_neg_topk(
         qmul = jnp.ones((qp, 1), jnp.float32)
         qadd = -jnp.sum(queries * queries, axis=1, keepdims=True)  # -> -dist
 
-    vals, ids = _binmax_scan(
+    vals = _binmax_scan(
         qkern, codes, rowmul.reshape(1, n), rowadd.reshape(1, n),
-        compute_dtype=compute_dtype, chunk=_CHUNK, qblock=qblock,
+        compute_dtype=compute_dtype, chunk=chunk, qblock=qblock,
     )
     kk = min(k, vals.shape[1])
     if final == "auto":
@@ -261,13 +277,19 @@ def fused_scan_neg_topk(
     if final == "approx" and kk < vals.shape[1]:
         best, pos = lax.approx_max_k(vals, kk, recall_target=0.95)
     else:
-        best, pos = lax.top_k(vals, kk)  # [qp, kk] over N/16 candidates
-    ids = jnp.take_along_axis(ids, pos, axis=1)
+        best, pos = lax.top_k(vals, kk)  # [qp, kk] over N/bin candidates
+    # unpack: low mantissa bits carry the slice index; the column carries
+    # (chunk index, lane) — the row id is reconstructed bit-wise
+    nsl = chunk // _LANES
+    bits = lax.bitcast_convert_type(best, jnp.int32)
+    ids = ((pos // _LANES) * chunk + (bits & (nsl - 1)) * _LANES
+           + pos % _LANES)
+    best = lax.bitcast_convert_type(bits & jnp.int32(-nsl), jnp.float32)
 
     # per-query affine back to the negated-distance convention (qmul > 0,
     # so ranking within each query is unchanged; merges stay compatible)
     negd = best * qmul + qadd
-    negd = jnp.where(jnp.isfinite(best), negd, -jnp.inf)
+    negd = jnp.where(best > _INVALID_CUT, negd, -jnp.inf)
     return negd[:q], ids[:q].astype(jnp.int32)
 
 
