@@ -5,8 +5,10 @@ Reference parity: ``diskv/`` — Open with directory lock + full index replay
 (db.go:245-300), batches with ids and a batch-finish marker record
 (batch.go:115-344), ordered iteration (db.go:309-469), Merge compaction
 rewriting live records with a hint-style index swap (merge.go:40-330), and
-Watch events (watch.go:25-119). Record format: type + batch_id + key/value
-lengths + payload, CRC at the WAL chunk layer (record.go:42-130).
+Watch events (watch.go:25-119). Record format: type + batch_id + expire +
+key/value lengths + payload, CRC at the WAL chunk layer (record.go:42-130);
+record expiry (record.go:52-57, checked on read db.go:470-495 and dropped
+by merge merge.go:138) is honored via per-key TTLs.
 
 The in-memory index is a plain dict + lazily-sorted key list (the role of
 diskv's btree); compaction rewrites live records into fresh segments and
@@ -19,7 +21,8 @@ import fcntl
 import os
 import struct
 import threading
-from typing import Callable, Dict, Iterator, List, Optional, Tuple
+import time
+from typing import Callable, Dict, Iterator, List, NamedTuple, Optional, Tuple
 
 from coltt_tpu.storage.wal import WAL, ChunkPosition
 
@@ -29,18 +32,27 @@ REC_BATCH_FINISH = 3
 
 _LOCK_FILE = "FLOCK"
 
-
-def _encode_record(rtype: int, batch_id: int, key: bytes, value: bytes) -> bytes:
-    return (
-        struct.pack(">BQII", rtype, batch_id, len(key), len(value)) + key + value
-    )
+_HDR = struct.Struct(">BQqII")  # type, batch_id, expire (unix ns, 0=never)
 
 
-def _decode_record(b: bytes) -> Tuple[int, int, bytes, bytes]:
-    rtype, batch_id, klen, vlen = struct.unpack(">BQII", b[:17])
-    key = b[17 : 17 + klen]
-    value = b[17 + klen : 17 + klen + vlen]
-    return rtype, batch_id, key, value
+def _encode_record(rtype: int, batch_id: int, key: bytes, value: bytes,
+                   expire: int = 0) -> bytes:
+    return _HDR.pack(rtype, batch_id, expire, len(key), len(value)) + key + value
+
+
+def _decode_record(b: bytes) -> Tuple[int, int, bytes, bytes, int]:
+    rtype, batch_id, expire, klen, vlen = _HDR.unpack(b[: _HDR.size])
+    key = b[_HDR.size : _HDR.size + klen]
+    value = b[_HDR.size + klen : _HDR.size + klen + vlen]
+    return rtype, batch_id, key, value, expire
+
+
+class _Entry(NamedTuple):
+    pos: ChunkPosition
+    expire: int  # unix ns; 0 = never
+
+    def live(self, now: Optional[int] = None) -> bool:
+        return self.expire == 0 or self.expire > (now or time.time_ns())
 
 
 class Batch:
@@ -50,19 +62,27 @@ class Batch:
     def __init__(self, db: "KV", batch_id: int):
         self._db = db
         self._id = batch_id
-        self._pending: Dict[bytes, Optional[bytes]] = {}
+        self._pending: Dict[bytes, Tuple[Optional[bytes], int]] = {}
 
-    def put(self, key: bytes, value: bytes) -> None:
-        self._pending[bytes(key)] = bytes(value)
+    def put(self, key: bytes, value: bytes, *, ttl: Optional[float] = None) -> None:
+        expire = time.time_ns() + int(ttl * 1e9) if ttl is not None else 0
+        self._pending[bytes(key)] = (bytes(value), expire)
 
     def delete(self, key: bytes) -> None:
-        self._pending[bytes(key)] = None
+        self._pending[bytes(key)] = (None, 0)
 
     def get(self, key: bytes) -> Optional[bytes]:
         key = bytes(key)
         if key in self._pending:
-            return self._pending[key]
+            value, expire = self._pending[key]
+            if expire and expire <= time.time_ns():
+                return None
+            return value
         return self._db.get(key)
+
+    def rollback(self) -> None:
+        """Discard pending writes (batch.go:345 — nothing hit the log yet)."""
+        self._pending = {}
 
     def commit(self) -> None:
         if not self._pending:
@@ -71,20 +91,22 @@ class Batch:
         with db._mu:
             payloads = []
             keys = []
-            for key, value in self._pending.items():
+            for key, (value, expire) in self._pending.items():
                 if value is None:
                     payloads.append(_encode_record(REC_DELETE, self._id, key, b""))
                 else:
-                    payloads.append(_encode_record(REC_PUT, self._id, key, value))
-                keys.append((key, value))
+                    payloads.append(
+                        _encode_record(REC_PUT, self._id, key, value, expire)
+                    )
+                keys.append((key, value, expire))
             payloads.append(_encode_record(REC_BATCH_FINISH, self._id, b"", b""))
             positions = db._wal.write_batch(payloads)
-            for (key, value), pos in zip(keys, positions[:-1]):
+            for (key, value, expire), pos in zip(keys, positions[:-1]):
                 if value is None:
                     db._index.pop(key, None)
                     db._emit("delete", key, None)
                 else:
-                    db._index[key] = pos
+                    db._index[key] = _Entry(pos, expire)
                     db._emit("put", key, value)
             db._sorted_dirty = True
         self._pending = {}
@@ -108,7 +130,7 @@ class KV:
             sync_on_write=sync_on_write,
         )
         self._mu = threading.RLock()
-        self._index: Dict[bytes, ChunkPosition] = {}
+        self._index: Dict[bytes, _Entry] = {}
         self._sorted_keys: List[bytes] = []
         self._sorted_dirty = True
         self._batch_seq = 0
@@ -117,18 +139,19 @@ class KV:
 
     # -- startup replay (diskv loadIndexFromWAL, db.go:497) -------------------
     def _replay(self) -> None:
-        staged: Dict[int, List[Tuple[int, bytes, ChunkPosition]]] = {}
+        now = time.time_ns()
+        staged: Dict[int, List[Tuple[int, bytes, ChunkPosition, int]]] = {}
         for payload, pos in self._wal.read_all():
-            rtype, batch_id, key, _ = _decode_record(payload)
+            rtype, batch_id, key, _, expire = _decode_record(payload)
             if rtype == REC_BATCH_FINISH:
-                for r, k, p in staged.pop(batch_id, []):
-                    if r == REC_PUT:
-                        self._index[k] = p
+                for r, k, p, e in staged.pop(batch_id, []):
+                    if r == REC_PUT and (e == 0 or e > now):
+                        self._index[k] = _Entry(p, e)
                     else:
                         self._index.pop(k, None)
                 self._batch_seq = max(self._batch_seq, batch_id)
             else:
-                staged.setdefault(batch_id, []).append((rtype, key, pos))
+                staged.setdefault(batch_id, []).append((rtype, key, pos, expire))
         # unfinished batches (crash mid-commit) are discarded — atomicity
         self._sorted_dirty = True
 
@@ -138,9 +161,9 @@ class KV:
             self._batch_seq += 1
             return Batch(self, self._batch_seq)
 
-    def put(self, key: bytes, value: bytes) -> None:
+    def put(self, key: bytes, value: bytes, *, ttl: Optional[float] = None) -> None:
         b = self.new_batch()
-        b.put(key, value)
+        b.put(key, value, ttl=ttl)
         b.commit()
 
     def delete(self, key: bytes) -> None:
@@ -150,20 +173,42 @@ class KV:
 
     def get(self, key: bytes) -> Optional[bytes]:
         with self._mu:
-            pos = self._index.get(bytes(key))
-        if pos is None:
+            ent = self._index.get(bytes(key))
+        if ent is None or not ent.live():
             return None
-        payload = self._wal.read(pos)
-        _, _, _, value = _decode_record(payload)
+        payload = self._wal.read(ent.pos)
+        _, _, _, value, _ = _decode_record(payload)
         return value
+
+    def ttl(self, key: bytes) -> Optional[float]:
+        """Seconds until expiry; None if missing/expired; inf if no TTL."""
+        with self._mu:
+            ent = self._index.get(bytes(key))
+        if ent is None or not ent.live():
+            return None
+        if ent.expire == 0:
+            return float("inf")
+        return (ent.expire - time.time_ns()) / 1e9
 
     def exists(self, key: bytes) -> bool:
         with self._mu:
-            return bytes(key) in self._index
+            ent = self._index.get(bytes(key))
+        return ent is not None and ent.live()
 
     def __len__(self) -> int:
+        now = time.time_ns()
         with self._mu:
-            return len(self._index)
+            return sum(1 for e in self._index.values() if e.live(now))
+
+    def stat(self) -> Dict[str, int]:
+        """Live key count + on-disk bytes (db.go:230 Stat)."""
+        disk = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(self.directory)
+            for f in files
+        )
+        return {"keys": len(self), "disk_size": disk,
+                "segments": len(self._wal.segments())}
 
     # -- ordered iteration (db.go:309-469) -------------------------------------
     def _keys_sorted(self) -> List[bytes]:
@@ -190,8 +235,15 @@ class KV:
             if v is not None:
                 yield k, v
 
-    def keys(self, prefix: bytes = b"") -> List[bytes]:
-        return [k for k in self._keys_sorted() if k.startswith(prefix)]
+    def keys(self, prefix: bytes = b"", *, filter_expired: bool = True
+             ) -> List[bytes]:
+        ks = [k for k in self._keys_sorted() if k.startswith(prefix)]
+        if filter_expired:
+            now = time.time_ns()
+            with self._mu:
+                ks = [k for k in ks
+                      if k in self._index and self._index[k].live(now)]
+        return ks
 
     # -- watch (watch.go) -------------------------------------------------------
     def watch(self, fn: Callable[[str, bytes, Optional[bytes]], None]) -> None:
@@ -209,20 +261,27 @@ class KV:
         """Rewrite live records into fresh segments, drop the old ones."""
         with self._mu:
             old_segments = self._wal.segments()
-            live = [(k, self.get(k)) for k in self._keys_sorted()]
+            # expired records are dropped here (merge.go:138); live TTLs are
+            # carried through the rewrite
+            live = [
+                (k, self.get(k), self._index[k].expire)
+                for k in self._keys_sorted()
+                if self._index[k].live()
+            ]
+            live = [(k, v, e) for k, v, e in live if v is not None]
             self._wal._rotate()
             boundary = self._wal._active_id
-            new_index: Dict[bytes, ChunkPosition] = {}
+            new_index: Dict[bytes, _Entry] = {}
             if live:
                 self._batch_seq += 1
                 bid = self._batch_seq
                 payloads = [
-                    _encode_record(REC_PUT, bid, k, v) for k, v in live if v is not None
+                    _encode_record(REC_PUT, bid, k, v, e) for k, v, e in live
                 ]
                 payloads.append(_encode_record(REC_BATCH_FINISH, bid, b"", b""))
                 positions = self._wal.write_batch(payloads)
-                for (k, _), pos in zip(live, positions[:-1]):
-                    new_index[k] = pos
+                for (k, _, e), pos in zip(live, positions[:-1]):
+                    new_index[k] = _Entry(pos, e)
             self._index = new_index
             self._sorted_dirty = True
             self._wal.remove_segments([s for s in old_segments if s < boundary])

@@ -192,3 +192,69 @@ def test_object_store_put_requires_bucket(tmp_path):
     s.create_bucket("ok")
     with pytest.raises(BucketError):
         s.put_object("ok", "../escape", b"")
+
+
+def test_kv_ttl_expiry(tmp_path):
+    """Record expiry (diskv record.go:52-57): expired keys vanish from
+    get/exists/keys/len, survive as live until the deadline, and merge
+    drops them from disk."""
+    import time as _time
+
+    kv = KV(str(tmp_path / "kv"))
+    kv.put(b"eternal", b"1")
+    kv.put(b"fleeting", b"2", ttl=0.05)
+    kv.put(b"longer", b"3", ttl=60.0)
+    assert kv.get(b"fleeting") == b"2"
+    assert kv.ttl(b"fleeting") is not None and kv.ttl(b"fleeting") <= 0.05
+    assert kv.ttl(b"eternal") == float("inf")
+    _time.sleep(0.06)
+    assert kv.get(b"fleeting") is None
+    assert not kv.exists(b"fleeting")
+    assert kv.ttl(b"fleeting") is None
+    assert kv.keys() == [b"eternal", b"longer"]
+    assert len(kv) == 2
+    kv.merge()
+    assert kv.get(b"eternal") == b"1"
+    assert kv.get(b"longer") == b"3"
+    # TTL carried through the merge rewrite
+    assert 0 < kv.ttl(b"longer") <= 60.0
+    kv.close()
+
+
+def test_kv_ttl_survives_reopen_and_expires_at_replay(tmp_path):
+    import time as _time
+
+    kv = KV(str(tmp_path / "kv"))
+    kv.put(b"k", b"v", ttl=0.05)
+    kv.put(b"p", b"q", ttl=60.0)
+    kv.close()
+    _time.sleep(0.06)
+    kv2 = KV(str(tmp_path / "kv"))
+    assert kv2.get(b"k") is None  # expired during downtime, dropped at replay
+    assert kv2.get(b"p") == b"q"
+    kv2.close()
+
+
+def test_kv_batch_rollback(tmp_path):
+    kv = KV(str(tmp_path / "kv"))
+    kv.put(b"a", b"1")
+    b = kv.new_batch()
+    b.put(b"b", b"2")
+    b.delete(b"a")
+    assert b.get(b"b") == b"2"  # visible inside the batch
+    b.rollback()
+    b.commit()  # no-op after rollback
+    assert kv.get(b"a") == b"1"
+    assert kv.get(b"b") is None
+    kv.close()
+
+
+def test_kv_stat(tmp_path):
+    kv = KV(str(tmp_path / "kv"))
+    for i in range(10):
+        kv.put(f"k{i}".encode(), b"x" * 100)
+    st = kv.stat()
+    assert st["keys"] == 10
+    assert st["disk_size"] > 1000
+    assert st["segments"] >= 1
+    kv.close()
