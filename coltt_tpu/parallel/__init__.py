@@ -9,6 +9,12 @@ becomes real data-parallel query batching over a second mesh axis.
 
 from coltt_tpu.parallel.mesh import make_mesh, shard_spec, replicated_spec
 from coltt_tpu.parallel.dist_search import sharded_scan_topk, DistributedFlatIndex
+from coltt_tpu.parallel.multihost import (
+    assemble_global_rows,
+    host_row_range,
+    init_distributed,
+    make_multihost_mesh,
+)
 
 __all__ = [
     "make_mesh",
@@ -16,4 +22,8 @@ __all__ = [
     "replicated_spec",
     "sharded_scan_topk",
     "DistributedFlatIndex",
+    "init_distributed",
+    "make_multihost_mesh",
+    "host_row_range",
+    "assemble_global_rows",
 ]

@@ -232,3 +232,61 @@ def test_fused_sharded_matches_xla(rng, quant):
     _, ids_xla = idx.search(qs, k=10, oversample=8)
     _, ids_fused = idx.search(qs, k=10, oversample=8, fused=True)
     assert compute_recall(ids_fused, ids_xla) >= 0.9
+
+
+def test_multihost_mesh_and_assembly(data):
+    """Single-process degradation of the multi-host layer: host-major mesh,
+    full row range, device_put assembly; search results match the
+    1D-mesh path exactly."""
+    from coltt_tpu.parallel.multihost import (
+        assemble_global_rows, host_row_range, init_distributed,
+        make_multihost_mesh,
+    )
+
+    vecs, qs = data
+    assert init_distributed() == 1  # no-op single process
+    mesh = make_multihost_mesh()
+    assert mesh.shape["shard"] == 8 and mesh.shape["batch"] == 1
+    start, end = host_row_range(4096, mesh)
+    assert (start, end) == (0, 4096)
+
+    garr = assemble_global_rows(mesh, vecs, 4096)
+    assert garr.shape == (4096, 64)
+
+    codes, scale = garr, None
+    sqn = jnp.sum(garr * garr, axis=1)
+    valid = jnp.ones(4096, bool)
+    s, i = sharded_scan_topk(mesh, codes, scale, sqn, valid,
+                             jnp.asarray(qs), k=5,
+                             compute_dtype=jnp.float32)
+    s_ref, i_ref = scan_topk(jnp.asarray(qs), garr, None, sqn, valid, k=5,
+                             compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_multihost_mesh_batch_axis():
+    from coltt_tpu.parallel.multihost import make_multihost_mesh
+
+    mesh = make_multihost_mesh(batch=2)
+    assert mesh.shape["shard"] == 4 and mesh.shape["batch"] == 2
+    with pytest.raises(ValueError):
+        make_multihost_mesh(batch=3)
+
+
+def test_host_row_range_divisibility():
+    from coltt_tpu.parallel.multihost import make_multihost_mesh, host_row_range
+
+    mesh = make_multihost_mesh()
+    with pytest.raises(ValueError):
+        host_row_range(100, mesh)  # not divisible by 8
+
+
+def test_assemble_rejects_partial_rows_single_process(data):
+    from coltt_tpu.parallel.multihost import (
+        assemble_global_rows, make_multihost_mesh,
+    )
+
+    vecs, _ = data
+    mesh = make_multihost_mesh()
+    with pytest.raises(ValueError):
+        assemble_global_rows(mesh, vecs[:100], 4096)
