@@ -306,3 +306,150 @@ def fused_scan_topk(
     )
     score = jnp.where(jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric))
     return score, idx
+
+
+# ---------------------------------------------------------------------------
+# unit-norm int8 cosine path: all-integer epilogue
+# ---------------------------------------------------------------------------
+#
+# When rows are pre-normalized (cosine is norm-invariant) and quantized with
+# ONE global scale, per-row factors vanish: ranking — within a query AND
+# across shards — is by the raw s8xs8->s32 dot alone. The kernel epilogue
+# then needs no FMA and no float conversion at all: pack the slice index
+# into the low bits (dots <= 127*127*D fits 24 bits at D=768; <<5 leaves
+# 29-bit values) and take an integer maximum. Tombstones cannot ride a
+# rowadd here, so this path serves the immutable/suffix-padded layout
+# (DistributedFlatIndex): fully-dead bins are masked by ``bin_live``;
+# callers rerank the shortlist against a high-precision copy, which also
+# evicts any stray tombstoned row.
+#
+# Measured (v5e, 1M x 768d, Q=2048 pipelined): 127.3k QPS @ recall .986 —
+# SLOWER than the f32-FMA fused kernel above (145.8k @ .991): int32
+# shift/or/max does not outrun f32 FMA/and/or/max on this VPU, and the
+# storage savings (no scale/sqnorm) are the only win. Kept as the
+# memory-minimal variant; defaults stay on the FMA kernel.
+
+def _int_kernel(q_ref, c_ref, out_ref, *, chunk):
+    nsl = chunk // _LANES
+    sh = nsl.bit_length() - 1
+    dots = lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [qblock, chunk]
+    m = jnp.left_shift(dots[:, :_LANES], sh)
+    for s in range(1, nsl):
+        m = jnp.maximum(
+            m, jnp.left_shift(dots[:, s * _LANES:(s + 1) * _LANES], sh) | s
+        )
+    out_ref[:] = m
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "qblock"))
+def _binmax_scan_i8(queries_i8, codes_i8, *, chunk, qblock):
+    """Integer grid scan -> packed per-bin max: [qp, nbins] int32."""
+    qp, d = queries_i8.shape
+    n = codes_i8.shape[0]
+    nchunks = n // chunk
+    nbins = nchunks * _LANES
+    grid_spec = pl.GridSpec(
+        grid=(nchunks, qp // qblock),
+        in_specs=[
+            pl.BlockSpec((qblock, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qblock, _LANES), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    (vals,) = pl.pallas_call(
+        functools.partial(_int_kernel, chunk=chunk),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() == "cpu",
+        out_shape=[jax.ShapeDtypeStruct((qp, nbins), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * d * n,
+            bytes_accessed=n * d + qp * d + qp * nbins * 4,
+            transcendentals=0,
+        ),
+    )(queries_i8, codes_i8)
+    return vals
+
+
+_DEAD = jnp.int32(-(1 << 30))  # below any real packed value (see supports)
+
+
+def unit_i8_supports(n: int, dim: int, metric) -> bool:
+    """Shape/metric rules for the integer path. dim <= 2048 bounds the
+    packed value: |dot| <= 127*127*dim, <<5 must stay under 2^30 so the
+    dead sentinel and the +2^30 bitcast offset cannot overflow int32."""
+    return (
+        Metric.parse(metric) == Metric.COSINE
+        and dim % 128 == 0
+        and dim <= 2048
+        and n % _CHUNK == 0
+    )
+
+
+def unit_i8_bin_live(valid: np.ndarray, chunk: int) -> np.ndarray:
+    """[nbins] bool: bins containing at least one valid row, in the
+    kernel's bin order (chunk-major, lane-minor). ``valid`` is the local
+    row mask of one shard; its length must divide by ``chunk``."""
+    n = valid.shape[0]
+    nsl = chunk // _LANES
+    return (
+        np.asarray(valid, bool)
+        .reshape(n // chunk, nsl, _LANES)
+        .any(axis=1)
+        .reshape(-1)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "final"))
+def fused_unit_i8_neg_topk(queries, codes, gscale, bin_live, *, k,
+                           final: str = "auto"):
+    """Cosine shortlist over unit-norm global-scale int8 rows.
+
+    Returns ``(negd [Q, k], ids [Q, k])`` where negd is the int8-precision
+    negated cosine distance (comparable across shards because gscale is
+    global and the per-query factor is per query). Callers should rerank
+    (rerank_neg_topk) — it restores high-precision order and drops any
+    tombstoned row that won its bin.
+    """
+    queries = jnp.asarray(queries, jnp.float32)
+    q, d = queries.shape
+    n = codes.shape[0]
+    chunk = 2 * _CHUNK if n % (2 * _CHUNK) == 0 else _CHUNK
+    nsl = chunk // _LANES
+    sh = nsl.bit_length() - 1
+
+    qp, qblock = _pick_qblock(q, 32)
+    qf = jnp.pad(queries, [(0, qp - q), (0, 0)]) if qp != q else queries
+    qmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+    qscale = jnp.where(qmax > 0, qmax / 127.0, 1.0)
+    qi = jnp.round(qf / qscale).clip(-127, 127).astype(jnp.int8)
+
+    packed = _binmax_scan_i8(qi, codes, chunk=chunk, qblock=qblock)
+    packed = jnp.where(bin_live.reshape(1, -1), packed, _DEAD)
+    # monotone int->f32 bitcast for ApproxTopK: shift into the non-negative
+    # range (bit patterns of non-negative floats order like their ints; all
+    # real values land far above the denormal range)
+    fval = lax.bitcast_convert_type(packed + jnp.int32(1 << 30), jnp.float32)
+    kk = min(k, packed.shape[1])
+    if final == "auto":
+        final = "approx" if packed.shape[1] > 8192 else "exact"
+    if final == "approx" and kk < packed.shape[1]:
+        _, pos = lax.approx_max_k(fval, kk, recall_target=0.95)
+    else:
+        _, pos = lax.top_k(fval, kk)
+    sel = jnp.take_along_axis(packed, pos, axis=1)
+    ids = (pos // _LANES) * chunk + (sel & (nsl - 1)) * _LANES + pos % _LANES
+
+    qn = jnp.maximum(jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True)), 1e-30)
+    dots = (sel >> sh).astype(jnp.float32)
+    negd = dots * (gscale * qscale / qn) - 1.0  # cos - 1 = -dist
+    negd = jnp.where(sel == _DEAD, -jnp.inf, negd)
+    return negd[:q], ids[:q].astype(jnp.int32)

@@ -29,7 +29,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from coltt_tpu.ops.distance import Metric, scan_distances
 from coltt_tpu.ops.pq import PQCodebook, pq_encode, pq_scan_neg_topk, train_pq
 from coltt_tpu.ops.quant import Quantization, dequantize, quantize, storage_dtype
-from coltt_tpu.ops.scan_pallas import fused_scan_neg_topk
+from coltt_tpu.ops.scan_pallas import (
+    fused_scan_neg_topk,
+    fused_unit_i8_neg_topk,
+    unit_i8_bin_live,
+    unit_i8_supports,
+)
 from coltt_tpu.ops.scan_pallas import supports as fused_supports
 from coltt_tpu.ops.score import normalize_score
 from coltt_tpu.ops.topk import rerank_neg_topk, scan_neg_topk
@@ -184,6 +189,69 @@ def sharded_scan_topk(
         )
         negd, ids = fn(codes, scale, sqnorm, valid, rr_codes, queries)
     score = jnp.where(jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric))
+    return score, ids
+
+
+def _local_unit_scan_rerank_merge(codes, bin_live, rr_codes, queries, gscale,
+                                  *, k, oversample):
+    """Unit-norm int8 cosine path: integer kernel shortlist -> local bf16
+    rerank -> collective merge (see ops/scan_pallas.py unit-i8 section)."""
+    shortlist = min(max(k * oversample, k), codes.shape[0])
+    negd, ids = fused_unit_i8_neg_topk(
+        queries, codes, gscale, bin_live, k=shortlist,
+    )
+    negd, ids = rerank_neg_topk(
+        queries, negd, ids, rr_codes, None,
+        k=k, metric=Metric.COSINE, compute_dtype=jnp.bfloat16,
+    )
+    return _merge_partials(negd, ids, codes.shape[0], k)
+
+
+@partial(jax.jit, static_argnames=("mesh", "k", "oversample"))
+def sharded_unit_i8_topk(
+    mesh: Mesh,
+    codes,
+    gscale,
+    bin_live,
+    rr_codes,
+    queries,
+    *,
+    k: int,
+    oversample: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Global cosine top-k over row-sharded unit-norm int8 codes.
+
+    The per-device scan epilogue is all-integer (no per-row FMA — the
+    global scale makes raw s32 dots the ranking key), the bf16 rerank runs
+    before the collective so gathers stay shard-local, and the merge moves
+    only [Q, k] partials. Measured on v5e (1M x 768d, Q=2048 pipelined):
+    127.3k QPS @ recall .986 vs the default fused-i8 path's 145.8k @ .991
+    — the int32 shift/max epilogue does NOT beat the f32 FMA epilogue on
+    this generation's VPU, so the default path remains fused-i8; this one
+    is kept as the simpler layout (no per-row scale/sqnorm arrays) for
+    memory-minimal deployments. Returns (scores [Q, k] 0-100, ids [Q, k]).
+    """
+    if mesh.size == 1:
+        shortlist = min(max(k * oversample, k), codes.shape[0])
+        negd, ids = fused_unit_i8_neg_topk(
+            queries, codes, gscale, bin_live, k=shortlist,
+        )
+        negd, ids = rerank_neg_topk(
+            queries, negd, ids, rr_codes, None,
+            k=k, metric=Metric.COSINE, compute_dtype=jnp.bfloat16,
+        )
+    else:
+        fn = jax.shard_map(
+            partial(_local_unit_scan_rerank_merge, k=k, oversample=oversample),
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(BATCH_AXIS),
+                      P()),
+            out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+            check_vma=False,
+        )
+        negd, ids = fn(codes, bin_live, rr_codes, queries, gscale)
+    score = jnp.where(jnp.isinf(negd), -jnp.inf,
+                      normalize_score(-negd, Metric.COSINE))
     return score, ids
 
 
@@ -401,6 +469,7 @@ class DistributedFlatIndex:
         quantization: Quantization = Quantization.NONE,
         compute_dtype=None,
         rerank_dtype=None,  # e.g. jnp.bfloat16: keep a high-precision copy
+        unit_i8: bool = False,  # all-integer cosine path (needs rerank_dtype)
     ):
         self.mesh = mesh
         self.metric = Metric.parse(metric)
@@ -415,29 +484,55 @@ class DistributedFlatIndex:
 
         n_shards = mesh.shape[SHARD_AXIS]
         n, dim = vectors.shape
+        self.unit_i8 = bool(unit_i8)
+        if self.unit_i8 and (rerank_dtype is None
+                             or not unit_i8_supports(0, dim, self.metric)):
+            raise ValueError(
+                "unit_i8 needs metric=cosine, dim % 128 == 0, dim <= 2048, "
+                "and a rerank_dtype"
+            )
         vectors = jnp.asarray(vectors, jnp.float32)  # host or device input
         # pad so every shard's local row count is a multiple of the fused
-        # kernel's chunk (ops/scan_pallas.py shape rule); padding rows are
-        # masked invalid and can never be returned
+        # kernel's largest chunk (ops/scan_pallas.py shape rule); padding
+        # rows are masked invalid and can never be returned
         from coltt_tpu.ops.scan_pallas import _CHUNK
-        pad = (-n) % (n_shards * _CHUNK)
+        pad = (-n) % (n_shards * 2 * _CHUNK)
         if pad:
             vectors = jnp.concatenate(
                 [vectors, jnp.zeros((pad, dim), jnp.float32)], axis=0
             )
         self.n = n
         self.dim = dim
-
-        codes, scale = quantize(vectors, self.quantization)
-        codes = codes.astype(storage_dtype(self.quantization))
-        deq = dequantize(codes, scale)
-        sqnorm = jnp.sum(deq * deq, axis=1)
-        valid = jnp.arange(vectors.shape[0]) < n
+        np_total = vectors.shape[0]
+        valid = jnp.arange(np_total) < n
 
         spec = NamedSharding(mesh, P(SHARD_AXIS))
-        self.codes = jax.device_put(codes, spec)
-        self.scale = jax.device_put(scale, spec)
-        self.sqnorm = jax.device_put(sqnorm, spec)
+        if self.unit_i8:
+            # unit-norm rows, ONE global scale: ranking is the raw int dot
+            norms = jnp.linalg.norm(vectors, axis=1, keepdims=True)
+            un = vectors / jnp.maximum(norms, 1e-30)
+            gmax = jnp.max(jnp.abs(un))
+            self.gscale = jnp.where(gmax > 0, gmax / 127.0, jnp.float32(1.0))
+            codes = jnp.round(un / self.gscale).clip(-127, 127).astype(jnp.int8)
+            # suffix padding rows are all-zero codes; their bins are masked
+            local_n = np_total // n_shards
+            chunk = 2 * 2048 if local_n % (2 * 2048) == 0 else 2048
+            v2 = np.asarray(jax.device_get(valid)).reshape(n_shards, local_n)
+            bl = np.concatenate(
+                [unit_i8_bin_live(v2[s], chunk) for s in range(n_shards)]
+            )
+            self.bin_live = jax.device_put(jnp.asarray(bl), spec)
+            self.codes = jax.device_put(codes, spec)
+            self.scale = None
+            self.sqnorm = None
+        else:
+            codes, scale = quantize(vectors, self.quantization)
+            codes = codes.astype(storage_dtype(self.quantization))
+            deq = dequantize(codes, scale)
+            sqnorm = jnp.sum(deq * deq, axis=1)
+            self.codes = jax.device_put(codes, spec)
+            self.scale = jax.device_put(scale, spec)
+            self.sqnorm = jax.device_put(sqnorm, spec)
         self.valid = jax.device_put(valid, spec)
         self.rr_codes = (
             jax.device_put(vectors.astype(rerank_dtype), spec)
@@ -458,12 +553,18 @@ class DistributedFlatIndex:
             )
         qspec = NamedSharding(self.mesh, P(BATCH_AXIS))
         jq = jax.device_put(jnp.asarray(queries), qspec)
-        scores, ids = sharded_scan_topk(
-            self.mesh, self.codes, self.scale, self.sqnorm, self.valid, jq,
-            k=k, metric=self.metric, compute_dtype=self.compute_dtype,
-            approx_recall=approx_recall,
-            rr_codes=self.rr_codes, oversample=oversample, fused=fused,
-        )
+        if self.unit_i8:
+            scores, ids = sharded_unit_i8_topk(
+                self.mesh, self.codes, self.gscale, self.bin_live,
+                self.rr_codes, jq, k=k, oversample=oversample,
+            )
+        else:
+            scores, ids = sharded_scan_topk(
+                self.mesh, self.codes, self.scale, self.sqnorm, self.valid, jq,
+                k=k, metric=self.metric, compute_dtype=self.compute_dtype,
+                approx_recall=approx_recall,
+                rr_codes=self.rr_codes, oversample=oversample, fused=fused,
+            )
         scores, ids = np.asarray(scores)[:q], np.asarray(ids)[:q]
         ids = np.where(np.isneginf(scores), -1, ids)
         return scores, ids

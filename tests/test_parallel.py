@@ -290,3 +290,40 @@ def test_assemble_rejects_partial_rows_single_process(data):
     mesh = make_multihost_mesh()
     with pytest.raises(ValueError):
         assemble_global_rows(mesh, vecs[:100], 4096)
+
+
+def test_unit_i8_index_matches_fp32(rng):
+    """The all-integer cosine path (unit-norm rows, global scale, bf16
+    rerank) must match the fp32 exact scan at high recall on both the
+    8-shard mesh and a single-device mesh."""
+    n, d, k = 8192, 256, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((16, d)).astype(np.float32)
+
+    gt = DistributedFlatIndex(make_mesh(), vecs, metric=Metric.COSINE,
+                              quantization=Quantization.NONE)
+    _, gt_ids = gt.search(qs, k)
+
+    for mesh in (make_mesh(), make_mesh(num_shards=1, batch=1)):
+        idx = DistributedFlatIndex(
+            mesh, vecs, metric=Metric.COSINE, quantization=Quantization.I8,
+            rerank_dtype=jnp.bfloat16, unit_i8=True,
+        )
+        scores, ids = idx.search(qs, k)
+        rec = np.mean([
+            len(set(gt_ids[i]) & set(ids[i])) / k for i in range(len(qs))
+        ])
+        assert rec >= 0.9, rec
+        assert (scores[:, :-1] >= scores[:, 1:] - 1e-4).all()  # descending
+        assert (ids >= 0).all() and (ids < n).all()  # padding never returned
+
+
+def test_unit_i8_requires_cosine_and_rerank(rng):
+    vecs = rng.standard_normal((1024, 256)).astype(np.float32)
+    with pytest.raises(ValueError):
+        DistributedFlatIndex(make_mesh(), vecs, metric=Metric.EUCLIDEAN,
+                             quantization=Quantization.I8,
+                             rerank_dtype=jnp.bfloat16, unit_i8=True)
+    with pytest.raises(ValueError):
+        DistributedFlatIndex(make_mesh(), vecs, metric=Metric.COSINE,
+                             quantization=Quantization.I8, unit_i8=True)
