@@ -60,12 +60,14 @@ def main():
     log(f"ingest+quantize 1M x 768 i8 (+bf16 rerank copy): {time.perf_counter()-t0:.1f}s")
 
     # serving scan: the Pallas fused kernel (ops/scan_pallas.py) — int8 MXU
-    # matmul (2x the bf16 rate), in-VMEM bin selection (one survivor per 16
-    # rows, no [Q, N] HBM materialization), ApproxTopK over the survivors —
-    # shortlists k*4 rows; a bf16 rerank of the gathered shortlist restores
-    # ~fp32 ranking (storage error, not selection, is the recall ceiling).
-    # Measured v5e, Q=2048: XLA f8 rt=0.95/os=4 -> 94.2k QPS @ .984;
-    # fused i8 os=4 -> 130.6k QPS @ .984 (15.7 ms/batch).
+    # matmul (2x the bf16 rate), in-VMEM bin selection (one packed survivor
+    # per 32 rows, no [Q, N] HBM materialization), ApproxTopK over the
+    # survivors — shortlists k*4 rows; a bf16 rerank of the gathered
+    # shortlist restores ~fp32 ranking (storage error, not selection, is
+    # the recall ceiling). Measured v5e, Q=2048 pipelined: XLA f8 -> 94.2k
+    # QPS @ .984; fused v1 (max/argmax pair) -> 115-131k; fused v2 (packed
+    # single output, chunk 4096) -> 139-146k @ .984-.991 (~14 ms/batch vs
+    # the ~8 ms int8 matmul floor).
     def dispatch(q_dev):
         return sharded_scan_topk(
             mesh, idx.codes, idx.scale, idx.sqnorm, idx.valid, q_dev,
