@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--quantization", default="I8")
     ap.add_argument("--high-resource", action="store_true",
                     help="the reference's highCpu toggle: fused/approx scan")
+    ap.add_argument("--concurrency", type=int, default=1,
+                    help=">1 adds a concurrent-clients phase (ScanBatcher)")
+    ap.add_argument("--one-by-one", action="store_true",
+                    help="ingest via single Index RPCs (reference shape)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -56,11 +60,23 @@ def main():
     for base in range(0, args.n, batch):
         m = min(batch, args.n - base)
         vecs = rng.standard_normal((m, args.dim)).astype(np.float32)
-        for i in range(m):
-            client.index(args.collection, f"p{base + i}", vector=vecs[i],
-                         metadata={"pk": f"p{base+i}", "bucket": (base + i) % 16})
+        if args.one_by_one:
+            # the reference's only ingest shape (one IndexChange per RPC)
+            for i in range(m):
+                client.index(args.collection, f"p{base + i}", vector=vecs[i],
+                             metadata={"pk": f"p{base+i}",
+                                       "bucket": (base + i) % 16})
+        else:
+            client.bulk_index(
+                args.collection,
+                [f"p{base + i}" for i in range(m)],
+                vecs,
+                [{"bucket": (base + i) % 16} for i in range(m)],
+            )
     ingest_s = time.perf_counter() - t0
-    print(f"ingest {args.n} rows: {ingest_s:.1f}s", flush=True)
+    print(f"ingest {args.n} rows: {ingest_s:.1f}s "
+          f"({args.n/ingest_s:.0f} rows/s; reference one-by-one ~1.7k/s)",
+          flush=True)
 
     qs = rng.standard_normal((args.queries, args.dim)).astype(np.float32)
     client.search(args.collection, qs[0], limit=args.limit,
@@ -74,7 +90,7 @@ def main():
         lats.append(time.perf_counter() - t1)
     total = time.perf_counter() - t0
     lats_ms = np.asarray(lats) * 1e3
-    print(json.dumps({
+    out = {
         "metric": "edge search latency over gRPC (single-query RPCs)",
         "n": args.n, "dim": args.dim,
         "quantization": args.quantization,
@@ -84,7 +100,34 @@ def main():
         "p99_ms": round(float(np.percentile(lats_ms, 99)), 3),
         "qps_sequential": round(args.queries / total, 1),
         "reference_p50_ms": "20-30 (1M x 128d, highCpu=true)",
-    }), flush=True)
+    }
+
+    if args.concurrency > 1:
+        # concurrent clients: the server's ScanBatcher coalesces in-flight
+        # searches into one device scan (engine/batcher.py) — the serving
+        # throughput story, measured through the full RPC path
+        from concurrent.futures import ThreadPoolExecutor
+
+        total_q = args.queries * args.concurrency
+        cqs = rng.standard_normal((total_q, args.dim)).astype(np.float32)
+        pool = ThreadPoolExecutor(args.concurrency)
+
+        def one(i):
+            t1 = time.perf_counter()
+            client.search(args.collection, cqs[i], limit=args.limit,
+                          high_resource=args.high_resource)
+            return time.perf_counter() - t1
+
+        t0 = time.perf_counter()
+        clats = list(pool.map(one, range(total_q)))
+        cdt = time.perf_counter() - t0
+        cl = np.asarray(clats) * 1e3
+        out["concurrency"] = args.concurrency
+        out["qps_concurrent"] = round(total_q / cdt, 1)
+        out["concurrent_p50_ms"] = round(float(np.percentile(cl, 50)), 3)
+        out["concurrent_p99_ms"] = round(float(np.percentile(cl, 99)), 3)
+
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

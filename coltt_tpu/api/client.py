@@ -106,6 +106,21 @@ class EdgeClient(_StubBase):
         )
         return _raise_on_error(self.call("Index", req))
 
+    def bulk_index(self, name: str, primary_keys, vectors,
+                   metadatas: Optional[List[Dict[str, Any]]] = None):
+        """Bulk ingest: one RPC carrying a packed [N, D] float block."""
+        import numpy as np
+
+        vecs = np.asarray(vectors, np.float32)
+        req = edge_pb2.BulkIndexChange(
+            collection_name=name,
+            vectors=vecs.reshape(-1).tolist(),
+            count=vecs.shape[0],
+            primary_keys=list(primary_keys),
+            metadata=[dict_to_struct(m) for m in (metadatas or [])],
+        )
+        return _raise_on_error(self.call("BulkIndex", req))
+
     def search(
         self, name: str, vector, *, limit: int = 10, offset: int = 0,
         filter_expression: Optional[FilterExpression] = None,

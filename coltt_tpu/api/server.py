@@ -38,6 +38,7 @@ from coltt_tpu.api.marshal import (
 )
 from coltt_tpu.engine.core import CollectionSpec, CoreEngine
 from coltt_tpu.engine.edge import EdgeEngine
+from coltt_tpu.engine.errors import EngineError
 from coltt_tpu.engine.experimental import ExperimentalEngine
 from coltt_tpu.ops.distance import Metric
 from coltt_tpu.ops.quant import Quantization
@@ -136,6 +137,27 @@ class EdgeServicer:
             self.engine.index(name, metadata, delete=True)
         else:
             self.engine.index(name, metadata, _vec(request.vectors))
+        return common_pb2.Response(status=True)
+
+    def BulkIndex(self, request, context):
+        name = request.collection_name
+        n = int(request.count)
+        vecs = np.asarray(request.vectors, np.float32)
+        if n <= 0 or vecs.size % n:
+            raise EngineError("vectors length must be count * dim")
+        vecs = vecs.reshape(n, -1)
+        if len(request.primary_keys) != n:
+            raise EngineError("primary_keys must parallel rows")
+        schema = self.engine.get_collection(name)["schema"]
+        pk_field = schema.primary_key
+        mds = [struct_to_dict(m) for m in request.metadata] or [
+            {} for _ in range(n)
+        ]
+        if len(mds) != n:
+            raise EngineError("metadata must parallel rows")
+        for pk, md in zip(request.primary_keys, mds):
+            md[pk_field] = pk
+        self.engine.index_many(name, mds, vecs)
         return common_pb2.Response(status=True)
 
     def Search(self, request, context):
@@ -425,6 +447,7 @@ _EDGE_RPCS: Dict[str, Tuple[type, type]] = {
     "ReleaseCollection": (edge_pb2.CollectionName, common_pb2.Response),
     "Flush": (edge_pb2.CollectionName, common_pb2.Response),
     "Index": (edge_pb2.IndexChange, common_pb2.Response),
+    "BulkIndex": (edge_pb2.BulkIndexChange, common_pb2.Response),
     "Search": (edge_pb2.SearchIndex, edge_pb2.SearchResponse),
 }
 

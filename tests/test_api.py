@@ -199,3 +199,25 @@ def test_core_bulk_insert_rpc(core, rng):
     more = rng.standard_normal((3, DIM), dtype=np.float32)
     auto_ids = core.bulk_insert("b", more)
     assert len(auto_ids) == 3 and all(auto_ids)
+
+
+def test_edge_bulk_index_rpc(edge, rng):
+    edge.create_collection(_edge_schema())
+    vecs = rng.standard_normal((96, DIM), dtype=np.float32)
+    edge.bulk_index(
+        "docs",
+        [f"p{i}" for i in range(96)],
+        vecs,
+        [{"lang": "go" if i % 2 else "py"} for i in range(96)],
+    )
+    hits = edge.search("docs", vecs[7], limit=3)
+    assert hits[0]["id"] == "p7" or hits[0]["metadata"]["pk"] == "p7"
+    # bulk upsert overwrites by primary key
+    edge.bulk_index("docs", ["p7"], vecs[8:9], [{"lang": "rs"}])
+    hits = edge.search("docs", vecs[8], limit=1)
+    assert hits[0]["metadata"]["pk"] == "p7"
+    assert hits[0]["metadata"]["lang"] == "rs"
+    # mismatched parallel arrays surface as errors
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        edge.bulk_index("docs", ["a", "b"], vecs[:1])
