@@ -256,12 +256,27 @@ def pq_encode(vectors, codebook: PQCodebook) -> Tuple[jax.Array, jax.Array]:
     return codes, sqnorm
 
 
+@partial(jax.jit, static_argnames=("block",))
+def _sqnorm_blocked(codes, csq_t, *, block):
+    n = codes.shape[0]
+
+    def body(cb):
+        return jnp.sum(jnp.take_along_axis(csq_t, cb.astype(jnp.int32),
+                                           axis=0), axis=1)
+
+    if n == block:
+        return body(codes)
+    return lax.map(body, codes.reshape(n // block, block, -1)).reshape(n)
+
+
 def pq_sqnorm(codes, codebook: PQCodebook) -> jax.Array:
-    """Exact squared reconstruction norms for ``[N, M]`` codes via the LUT."""
-    csq = codebook.centroid_sqnorm
-    return jnp.sum(
-        jnp.take_along_axis(csq.T, codes.astype(jnp.int32), axis=0), axis=1
-    )
+    """Exact squared reconstruction norms for ``[N, M]`` codes via the LUT.
+
+    Blocked over rows: the int32 upcast + gather transient is ~8 bytes per
+    code, which at 10M x 96 would be ~8 GB unblocked."""
+    n = codes.shape[0]
+    block = _ENCODE_BLOCK if (n > _ENCODE_BLOCK and n % _ENCODE_BLOCK == 0) else n
+    return _sqnorm_blocked(codes, codebook.centroid_sqnorm.T, block=block)
 
 
 def pq_reconstruct(codes, codebook: PQCodebook) -> jax.Array:
