@@ -237,7 +237,7 @@ def _encode_all(x, centroids, csq, *, block: int):
         codes = body(x)
     else:
         codes = lax.map(body, x.reshape(n // block, block, dim)).reshape(n, m)
-    sqnorm = jnp.sum(jnp.take_along_axis(csq.T, codes, axis=0), axis=1)
+    sqnorm = _sqnorm_from_codes(codes, csq.T, block)
     return codes.astype(jnp.uint8), sqnorm
 
 
@@ -256,26 +256,34 @@ def pq_encode(vectors, codebook: PQCodebook) -> Tuple[jax.Array, jax.Array]:
     return codes, sqnorm
 
 
-@partial(jax.jit, static_argnames=("block",))
-def _sqnorm_blocked(codes, csq_t, *, block):
+def _sqnorm_from_codes(codes, csq_t, block: int):
+    """LUT-sum of centroid sqnorms, blocked over rows (any N — full blocks
+    via ``lax.map`` plus a static remainder block). The int32 upcast +
+    gather transient is ~8 bytes/code, ~8 GB at 10M x 96 unblocked."""
     n = codes.shape[0]
 
     def body(cb):
         return jnp.sum(jnp.take_along_axis(csq_t, cb.astype(jnp.int32),
                                            axis=0), axis=1)
 
-    if n == block:
+    if n <= block:
         return body(codes)
-    return lax.map(body, codes.reshape(n // block, block, -1)).reshape(n)
+    nb = n // block
+    main = lax.map(body, codes[: nb * block].reshape(nb, block, -1)).reshape(-1)
+    if n % block:
+        return jnp.concatenate([main, body(codes[nb * block:])])
+    return main
 
 
-def pq_sqnorm(codes, codebook: PQCodebook) -> jax.Array:
-    """Exact squared reconstruction norms for ``[N, M]`` codes via the LUT.
+@partial(jax.jit, static_argnames=("block",))
+def _sqnorm_blocked(codes, csq_t, *, block):
+    return _sqnorm_from_codes(codes, csq_t, block)
 
-    Blocked over rows: the int32 upcast + gather transient is ~8 bytes per
-    code, which at 10M x 96 would be ~8 GB unblocked."""
-    n = codes.shape[0]
-    block = _ENCODE_BLOCK if (n > _ENCODE_BLOCK and n % _ENCODE_BLOCK == 0) else n
+
+def pq_sqnorm(codes, codebook: PQCodebook, *, block: int = _ENCODE_BLOCK
+              ) -> jax.Array:
+    """Exact squared reconstruction norms for ``[N, M]`` codes via the LUT,
+    blocked over rows (memory-safe at any N)."""
     return _sqnorm_blocked(codes, codebook.centroid_sqnorm.T, block=block)
 
 

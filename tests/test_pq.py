@@ -146,3 +146,18 @@ def test_blocked_scan_matches_unblocked(rng):
     )
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_pq_sqnorm_blocked_matches_reconstruction(rng):
+    """Direct coverage of pq_sqnorm: blocked (multi-block + remainder)
+    results equal the exact reconstruction norms."""
+    from coltt_tpu.ops.pq import pq_reconstruct, pq_sqnorm
+
+    vecs = rng.standard_normal((1000, 32)).astype(np.float32)  # not a
+    cb = train_pq(vecs, m=4, n_centroids=16, iters=4, sample_size=1000)
+    codes, enc_sqn = pq_encode(jnp.asarray(vecs), cb)
+    want = np.sum(np.asarray(pq_reconstruct(codes, cb)) ** 2, axis=1)
+    for block in (64, 1000, 4096, 333):  # multi-block, exact, oversize, remainder
+        got = np.asarray(pq_sqnorm(codes, cb, block=block))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(enc_sqn), want, rtol=1e-5, atol=1e-4)
