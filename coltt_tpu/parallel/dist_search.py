@@ -269,7 +269,8 @@ def _merge_partials(negd, ids, local_n, k):
 def _local_pq_scan_merge(codes, centroids, sqnorm, valid, queries, *,
                          k, metric, compute_dtype):
     """Per-device PQ ADC scan -> collective top-k merge (BASELINE config #4:
-    PQ codebook search with continuous query batching, sharded)."""
+    PQ codebook search with continuous query batching, sharded). Queries
+    arrive pre-rotated (OPQ) — the wrapper rotates once, not per shard."""
     negd, ids = pq_scan_neg_topk(
         queries, codes, centroids, sqnorm, valid,
         k=k, metric=metric, compute_dtype=compute_dtype,
@@ -289,12 +290,16 @@ def sharded_pq_topk(
     k: int,
     metric: Metric = Metric.COSINE,
     compute_dtype=jnp.bfloat16,
+    rotation=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Global top-k over row-sharded PQ codes; codebook is replicated.
 
+    ``rotation`` (replicated OPQ matrix) is applied to queries up front.
     Returns (scores [Q, k] on the 0-100 scale, global ids [Q, k]).
     """
     metric = Metric.parse(metric)
+    if rotation is not None:
+        queries = jnp.asarray(queries, jnp.float32) @ rotation
     if mesh.size == 1:
         negd, ids = pq_scan_neg_topk(
             queries, codes, centroids, sqnorm, valid,
@@ -405,6 +410,7 @@ class DistributedPQIndex:
         m: Optional[int] = None,
         train_sample: int = 65_536,
         compute_dtype=jnp.bfloat16,
+        opq_iters: int = 0,
     ):
         self.mesh = mesh
         self.metric = Metric.parse(metric)
@@ -413,7 +419,8 @@ class DistributedPQIndex:
         n, dim = vectors.shape
         self.n, self.dim = n, dim
         if codebook is None:
-            codebook = train_pq(vectors, m=m, sample_size=train_sample)
+            codebook = train_pq(vectors, m=m, sample_size=train_sample,
+                                opq_iters=opq_iters)
         self.codebook = codebook
 
         n_shards = mesh.shape[SHARD_AXIS]
@@ -432,6 +439,10 @@ class DistributedPQIndex:
         self.centroids = jax.device_put(
             codebook.centroids, NamedSharding(mesh, P())
         )
+        self.rotation = (
+            jax.device_put(codebook.rotation, NamedSharding(mesh, P()))
+            if codebook.rotation is not None else None
+        )
 
     def search(self, queries, k: int) -> Tuple[np.ndarray, np.ndarray]:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
@@ -447,6 +458,7 @@ class DistributedPQIndex:
         scores, ids = sharded_pq_topk(
             self.mesh, self.codes, self.centroids, self.sqnorm, self.valid,
             jq, k=k, metric=self.metric, compute_dtype=self.compute_dtype,
+            rotation=self.rotation,
         )
         scores, ids = np.asarray(scores)[:q], np.asarray(ids)[:q]
         ids = np.where(np.isneginf(scores), -1, ids)

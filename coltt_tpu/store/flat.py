@@ -148,13 +148,14 @@ def _gather_search(codes, scale, sqnorm, valid, cand, cand_valid, queries, *, k,
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "compute_dtype"))
-def _gather_search_pq(codes, centroids, sqnorm, valid, cand, cand_valid, queries, *, k, metric, compute_dtype):
+def _gather_search_pq(codes, centroids, rotation, sqnorm, valid, cand,
+                      cand_valid, queries, *, k, metric, compute_dtype):
     """PQ variant of the gather regime: gather code rows, ADC-scan the tile."""
     g_codes = jnp.take(codes, cand, axis=0)
     g_sqnorm = jnp.take(sqnorm, cand, axis=0)
     g_valid = jnp.take(valid, cand, axis=0) & cand_valid
     scores, local = pq_scan_topk(
-        queries, g_codes, PQCodebook(centroids), g_sqnorm, g_valid,
+        queries, g_codes, PQCodebook(centroids, rotation), g_sqnorm, g_valid,
         k=k, metric=metric, compute_dtype=compute_dtype,
     )
     return scores, jnp.take(cand, local)
@@ -177,6 +178,7 @@ class FlatStore:
         pq_centroids: int = 256,
         pq_train_iters: int = 15,
         pq_cache: bool = True,
+        pq_opq_iters: int = 0,  # >0: OPQ rotation (ops/pq.py PQCodebook doc)
     ):
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
@@ -204,6 +206,7 @@ class FlatStore:
                 )
             self.pq_centroids = int(pq_centroids)
             self.pq_train_iters = int(pq_train_iters)
+            self.pq_opq_iters = int(pq_opq_iters)
             self.codebook: Optional[PQCodebook] = None
             self._row_width = self.pq_m
         else:
@@ -355,7 +358,7 @@ class FlatStore:
             if self.codebook is None:
                 self.codebook = train_pq(
                     vectors, m=self.pq_m, n_centroids=self.pq_centroids,
-                    iters=self.pq_train_iters,
+                    iters=self.pq_train_iters, opq_iters=self.pq_opq_iters,
                 )
             # pad to capacity FIRST so encode/cache blocks divide evenly
             # (cap is a power-of-two multiple of the quantum); padding rows
@@ -433,6 +436,7 @@ class FlatStore:
                     m=self.pq_m,
                     n_centroids=self.pq_centroids,
                     iters=self.pq_train_iters,
+                    opq_iters=self.pq_opq_iters,
                 )
             if self.codebook is None:  # all-deletes batch before any data
                 u_pq = jnp.zeros((len(slots), self.pq_m), jnp.uint8)
@@ -493,7 +497,7 @@ class FlatStore:
             pq_codes = self._pq_code_array()
             return np.asarray(
                 jax.device_get(pq_reconstruct(pq_codes[slot : slot + 1],
-                                              self.codebook))
+                                              self.codebook, derotate=True))
             )[0]
         row = jax.device_get(self.codes[slot]).astype(np.float32)
         return row * float(jax.device_get(self.scale[slot])[0])
@@ -524,6 +528,11 @@ class FlatStore:
                 f"query dim {queries.shape[1]} != collection dim {self.dim}"
             )
         k = max(1, int(k))
+        if self.pq_cache and self.codebook is not None:
+            # the f8 scan cache stores OPQ-rotated reconstructions; rotate
+            # queries to match (no-op without OPQ). The codes-only ADC path
+            # rotates inside pq_scan_topk instead.
+            queries = np.asarray(self.codebook.rotate(jnp.asarray(queries)))
 
         if candidates is not None:
             candidates = np.asarray(candidates, np.int32).reshape(-1)
@@ -585,7 +594,8 @@ class FlatStore:
                     np.full((q, k), -1, np.int32),
                 )
             scores, slots = _gather_search_pq(
-                self.codes, self.codebook.centroids, self.sqnorm, self.valid,
+                self.codes, self.codebook.centroids, self.codebook.rotation,
+                self.sqnorm, self.valid,
                 jnp.asarray(cand), jnp.asarray(cand_valid), jnp.asarray(queries),
                 k=min(k, padded), metric=metric, compute_dtype=self.compute_dtype,
             )
@@ -637,6 +647,7 @@ class FlatStore:
                 "m": self.pq_m,
                 "centroids": self.pq_centroids,
                 "train_iters": self.pq_train_iters,
+                "opq_iters": self.pq_opq_iters,
                 "cache": self.pq_cache,
                 "codebook": cb.getvalue(),
             }
@@ -672,6 +683,7 @@ class FlatStore:
             pq_subspaces=pq["m"] if pq else None,
             pq_centroids=pq["centroids"] if pq else 256,
             pq_train_iters=pq["train_iters"] if pq else 15,
+            pq_opq_iters=pq.get("opq_iters", 0) if pq else 0,
             pq_cache=pq_cache,
         )
         if pq and pq["codebook"]:
