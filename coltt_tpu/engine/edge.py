@@ -102,6 +102,11 @@ class EdgeEngine:
                     schema.dim,
                     metric=schema.metric,
                     quantization=schema.quantization,
+                    # PQ collections train with OPQ by default: +0.3
+                    # recall@10 on anisotropic data for a one-time
+                    # training cost and a [Q, D] query rotation at search
+                    # (ops/pq.py PQCodebook docstring has the numbers)
+                    pq_opq_iters=4,
                 ),
                 inverted=InvertedIndex(fields=[f.name for f in schema.fields]),
             )
