@@ -283,15 +283,20 @@ def train_pq(
 
     cents = fit(sample_r, iters)
     for _ in range(max(0, opq_iters - 1)):
-        cb = PQCodebook(cents)
         codes, _ = _encode_all(
             sample_r, cents, jnp.sum(cents * cents, axis=-1),
             block=s if s <= _ENCODE_BLOCK or s % _ENCODE_BLOCK else _ENCODE_BLOCK,
         )
-        xhat = _reconstruct(codes, cents, jnp.float32)
-        # Procrustes: min_R ||sample R - xhat||, R orthonormal
-        mmat = np.asarray(jax.device_get(sample.T @ xhat))
-        u, _, vt = np.linalg.svd(mmat)
+        # Procrustes: min_R ||sample R - xhat||, R orthonormal. X^T X_hat
+        # is accumulated in row blocks: the reconstruction gather's
+        # lane-padded intermediate is ~16x the block bytes (flat.py
+        # _CACHE_BLOCK note), which unblocked OOMs next to a loaded corpus.
+        blk = 8192
+        mmat = jnp.zeros((dim, dim), jnp.float32)
+        for st in range(0, s, blk):
+            xh = _reconstruct(codes[st:st + blk], cents, jnp.float32)
+            mmat = mmat + sample[st:st + blk].T @ xh
+        u, _, vt = np.linalg.svd(np.asarray(jax.device_get(mmat)))
         rotation = jnp.asarray((u @ vt).astype(np.float32))
         sample_r = sample @ rotation
         cents = fit(sample_r, iters)
