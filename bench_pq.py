@@ -56,11 +56,10 @@ def main():
 
     from coltt_tpu.ops.distance import Metric, scan_distances
     from coltt_tpu.ops.pq import (
-        _reconstruct, default_subspaces, pq_encode, pq_scan_neg_topk,
-        pq_sqnorm, train_pq,
+        default_subspaces, pq_encode, pq_scan_neg_topk, pq_sqnorm, train_pq,
     )
-    from coltt_tpu.ops.quant import Quantization, dequantize, quantize
     from coltt_tpu.ops.topk import merge_topk, scan_neg_topk
+    from coltt_tpu.store.flat import _cache_block_for, _pq_cache_rows
 
     # 10 x 2^20 rows: block-aligned for the auto-blocked scan (stores allocate
     # in 8192-row quanta; the bench mirrors that)
@@ -100,12 +99,13 @@ def main():
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def fold_chunk(pq_codes, f8_codes, f8_scale, f8_sqn, chunk, codebook, off):
         # authoritative codes + the f8 cache OF THE RECONSTRUCTION (what
-        # FlatStore PQ mode serves); recall is PQ-capped by construction
+        # FlatStore PQ mode serves; the store's blocked builder — the
+        # reconstruct gather lane-pads ~16x, so unblocked it would be
+        # ~48 GB per 1M-row chunk); recall is PQ-capped by construction
         pqc, _ = pq_encode(chunk, codebook)
-        rec = _reconstruct(pqc, codebook.centroids, jnp.float32)
-        c8, s8 = quantize(rec, Quantization.F8)
-        deq = dequantize(c8, s8)
-        q8 = jnp.sum(deq * deq, axis=1)
+        c8, s8, q8 = _pq_cache_rows(
+            pqc, codebook.centroids, block=_cache_block_for(chunk_n)
+        )
         return (
             lax.dynamic_update_slice_in_dim(pq_codes, pqc, off, axis=0),
             lax.dynamic_update_slice_in_dim(f8_codes, c8, off, axis=0),
