@@ -70,7 +70,12 @@ def main():
     n_eval = 64
     n_centers = 16384
     sigma = 0.35
-    m = default_subspaces(d)  # 96 subspaces x 8 dims
+    # dsub=4: 192 subspaces, 4x compression of the durable codes. dsub=8
+    # (8x) measured recall@10 0.60 vs dsub=4's 0.78 at 262k — the codes
+    # are the snapshot format, the f8 cache dominates HBM either way, so
+    # the bench serves the higher-fidelity point; pass target_dsub=8 for
+    # the max-compression trade.
+    m = default_subspaces(d, target_dsub=4)
 
     log(f"devices: {jax.devices()}  M={m}")
     key = jax.random.PRNGKey(0)
@@ -157,10 +162,17 @@ def main():
     # -- serving dispatches ----------------------------------------------------
     # the cache lives in OPQ-rotated space: rotate queries once per batch
     def dispatch_cache(q):
-        # production PQ serving path: f8 reconstruction cache + ApproxTopK
+        # production PQ serving path: f8 reconstruction cache shortlist
+        # (ApproxTopK) + exact-reconstruction rerank of the top 4k
+        from coltt_tpu.ops.pq import pq_rerank_neg_topk
+
         qr = q @ rot if rot is not None else q
-        return scan_neg_topk(qr, f8_codes, f8_scale, f8_sqn, valid,
-                             k=k, metric=Metric.COSINE, approx_recall=0.99)
+        negd, ids = scan_neg_topk(qr, f8_codes, f8_scale, f8_sqn, valid,
+                                  k=4 * k, metric=Metric.COSINE,
+                                  approx_recall=0.99)
+        return pq_rerank_neg_topk(qr, negd, ids, pq_codes,
+                                  codebook.centroids, k=k,
+                                  metric=Metric.COSINE)
 
     def dispatch_adc(q):
         # low-memory path: ADC over the uint8 codes only
@@ -196,8 +208,8 @@ def main():
 
     qps, rec = results["f8cache"]
     print(json.dumps({
-        "metric": "OPQ(M=96)+f8-reconstruction-cache QPS/chip at recall@10 "
-                  "(10M x 768d clustered+spectrum, batch=512)",
+        "metric": f"OPQ(M={m})+f8-cache+reconstruction-rerank QPS/chip at "
+                  "recall@10 (10M x 768d clustered+spectrum, batch=512)",
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / 71.4, 2),  # reference PQ era: <14ms @ 50k

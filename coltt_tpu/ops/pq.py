@@ -57,6 +57,16 @@ _TRAIN_CHUNK = 4096
 # rows per encode block: bounds the [M, B, K] f32 assignment transient
 # (~1.6 GB at M=96, K=256, B=16384) inside the single-dispatch lax.map
 _ENCODE_BLOCK = 16384
+# cap on that transient: at higher M (dsub=4 -> M=D/4) the block shrinks
+# so encoding can run next to a fully loaded corpus
+_ENCODE_TRANSIENT_BYTES = 1 << 31
+
+
+def _encode_block_for(n: int, m: int, n_centroids: int) -> int:
+    b = _ENCODE_BLOCK
+    while b > 4096 and m * b * n_centroids * 4 > _ENCODE_TRANSIENT_BYTES:
+        b //= 2
+    return b if (n > b and n % b == 0) else n
 # rows per search block: the reconstructed [B, D] bf16 tile (~200 MB at 768d)
 _SEARCH_BLOCK = 131_072
 
@@ -285,7 +295,7 @@ def train_pq(
     for _ in range(max(0, opq_iters - 1)):
         codes, _ = _encode_all(
             sample_r, cents, jnp.sum(cents * cents, axis=-1),
-            block=s if s <= _ENCODE_BLOCK or s % _ENCODE_BLOCK else _ENCODE_BLOCK,
+            block=_encode_block_for(s, m, k),
         )
         # Procrustes: min_R ||sample R - xhat||, R orthonormal. X^T X_hat
         # is accumulated in row blocks: the reconstruction gather's
@@ -336,7 +346,7 @@ def pq_encode(vectors, codebook: PQCodebook) -> Tuple[jax.Array, jax.Array]:
     """
     x = codebook.rotate(jnp.asarray(vectors, jnp.float32))
     n = x.shape[0]
-    block = _ENCODE_BLOCK if (n > _ENCODE_BLOCK and n % _ENCODE_BLOCK == 0) else n
+    block = _encode_block_for(n, codebook.m, codebook.n_centroids)
     codes, sqnorm = _encode_all(
         x, codebook.centroids, codebook.centroid_sqnorm, block=block
     )
@@ -454,6 +464,35 @@ def pq_scan_neg_topk(
     ids = jnp.moveaxis(ids, 0, 1).reshape(q, blocks * kb)
     negd, midx = lax.top_k(vals, kk)
     return negd, jnp.take_along_axis(ids, midx, axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "metric"))
+def pq_rerank_neg_topk(queries, negd, ids, codes, centroids, *, k,
+                       metric: Metric = Metric.COSINE, rotation=None):
+    """Re-score a shortlist against the EXACT PQ reconstruction.
+
+    ``negd/ids [Q, C]`` come from the f8 reconstruction-cache scan (whose
+    recall trails pure ADC by the f8 storage noise, ~0.08 measured at 10M);
+    gathering the C code rows per query and reconstructing them in f32
+    removes that noise for the price of a tiny [Q*C, M] gather. The
+    ceiling remains PQ reconstruction quality — for more, raise M
+    (dsub=4 doubles code size and lifted recall@10 0.60 -> 0.78 at 262k)
+    or add a full-precision rerank tier outside PQ mode.
+    ``queries`` are unrotated; pass the codebook rotation.
+    """
+    metric = Metric.parse(metric)
+    from coltt_tpu.ops.topk import rescore_topk
+
+    queries = jnp.asarray(queries, jnp.float32)
+    if rotation is not None:
+        queries = queries @ rotation
+    qn, c = ids.shape
+    safe = jnp.where(ids >= 0, ids, 0)
+    crow = jnp.take(codes, safe.reshape(-1), axis=0)      # [Q*C, M]
+    rec = _reconstruct(crow, centroids, jnp.float32)
+    d = rec.shape[-1]
+    return rescore_topk(queries, rec.reshape(qn, c, d), negd, ids,
+                        k=k, metric=metric, compute_dtype=jnp.float32)
 
 
 def pq_scan_topk(

@@ -187,6 +187,26 @@ def rerank_neg_topk(
     cand = jnp.take(rr_codes, safe, axis=0)               # [Q, C, D]
     if rr_scale is not None:
         cand = cand.astype(jnp.float32) * jnp.take(rr_scale, safe, axis=0)
+    return rescore_topk(queries, cand, negd, ids, k=k, metric=metric,
+                        compute_dtype=compute_dtype)
+
+
+def rescore_topk(
+    queries,
+    cand,
+    negd,
+    ids,
+    *,
+    k: int,
+    metric: Metric = Metric.COSINE,
+    compute_dtype=jnp.bfloat16,
+):
+    """Rank ``cand [Q, C, D]`` candidate vectors against ``queries [Q, D]``
+    and keep the top k of the shortlist (the scoring tail of
+    :func:`rerank_neg_topk`, for callers that materialize candidates
+    themselves — e.g. PQ reconstruction rerank)."""
+    metric = Metric.parse(metric)
+    queries = jnp.asarray(queries, jnp.float32)
     qc = queries.astype(compute_dtype)
     cc = cand.astype(compute_dtype)
     dots = jnp.einsum("qd,qcd->qc", qc, cc, preferred_element_type=jnp.float32)

@@ -511,6 +511,7 @@ class FlatStore:
         metric: Optional[Metric] = None,
         approx_recall: Optional[float] = None,
         fused: bool = False,
+        oversample: int = 1,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k scan. Returns ``(scores [Q,k], slots [Q,k])``; empty slots
         carry score -inf. ``candidates`` is an optional dense int32 array of
@@ -519,7 +520,11 @@ class FlatStore:
         scan throughput at 0.99 on 1M x 768; see ops.topk). ``fused``
         selects the Pallas fused scan kernel (ops/scan_pallas.py — the
         int8 MXU path when the store is I8-quantized; falls back to the
-        XLA path where the kernel's shape rules don't hold)."""
+        XLA path where the kernel's shape rules don't hold).
+        ``oversample > 1`` (PQ-cache mode only) shortlists k*oversample
+        rows from the f8 cache and re-scores them against the exact PQ
+        reconstruction (ops/pq.py pq_rerank_neg_topk), recovering the f8
+        storage noise for a tiny per-query gather."""
         self.sync()
         metric = self.metric if metric is None else Metric.parse(metric)
         queries = np.atleast_2d(np.asarray(queries, np.float32))
@@ -561,6 +566,27 @@ class FlatStore:
                 jnp.asarray(queries), self.codes, self.codebook, self.sqnorm,
                 valid, k=min(k, self.capacity), metric=metric,
                 compute_dtype=self.compute_dtype,
+            )
+        elif self.pq_cache and self.codebook is not None and oversample > 1:
+            # f8-cache shortlist -> exact-reconstruction rerank (queries
+            # were already rotated above; rotation=None here)
+            from coltt_tpu.ops.pq import pq_rerank_neg_topk
+            from coltt_tpu.ops.topk import scan_neg_topk
+            from coltt_tpu.ops.score import normalize_score
+
+            shortlist = min(k * oversample, self.capacity)
+            negd, slots = scan_neg_topk(
+                jnp.asarray(queries), self.codes, self.scale, self.sqnorm,
+                valid, k=shortlist, metric=metric,
+                compute_dtype=self.compute_dtype, approx_recall=approx_recall,
+            )
+            negd, slots = pq_rerank_neg_topk(
+                jnp.asarray(queries), negd, slots, self.pqcodes,
+                self.codebook.centroids, k=min(k, self.capacity),
+                metric=metric,
+            )
+            scores = jnp.where(
+                jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric)
             )
         elif fused and fused_supports(
             self.capacity, self.dim, metric, self.codes.dtype

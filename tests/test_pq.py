@@ -245,3 +245,34 @@ def test_flat_store_pq_opq_search_and_snapshot(rng, tmp_path):
     # get_vector readback is in original coordinates
     rec = store2.get_vector("p5")
     assert np.mean((rec - vecs[5]) ** 2) < np.mean(vecs[5] ** 2)
+
+
+def test_pq_cache_oversample_rerank(rng):
+    """PQ-cache search with oversample re-scores the shortlist against the
+    exact reconstruction: results must rank at least as well as the plain
+    cache scan and agree with codes-only ADC ranking on top-1."""
+    from coltt_tpu.store.flat import FlatStore
+    from coltt_tpu.ops.quant import Quantization
+
+    d = 64
+    scale = (np.arange(1, d + 1) ** -0.5).astype(np.float32)
+    vecs = (rng.standard_normal((2000, d)) * scale).astype(np.float32)
+    cache = FlatStore(d, quantization=Quantization.PQ, pq_subspaces=8,
+                      pq_centroids=32, pq_train_iters=5, pq_opq_iters=2)
+    cache.bulk_build([f"p{i}" for i in range(2000)], vecs)
+    adc = FlatStore(d, quantization=Quantization.PQ, pq_subspaces=8,
+                    pq_centroids=32, pq_train_iters=5, pq_opq_iters=2,
+                    pq_cache=False)
+    adc.bulk_build([f"p{i}" for i in range(2000)], vecs)
+
+    qs = vecs[:8] + 0.01 * rng.standard_normal((8, d)).astype(np.float32) * scale
+    _, adc_ids = adc.search(qs, k=5)
+    _, rr_ids = cache.search(qs, k=5, oversample=8)
+    # top-1 of the reranked cache path matches exact-ADC top-1 (both rank
+    # by the same exact reconstruction; the shortlist at os=8 on 2000 rows
+    # cannot miss it)
+    match = np.mean(adc_ids[:, 0] == rr_ids[:, 0])
+    assert match >= 0.9, match
+    # shapes/scores sane
+    s, ids = cache.search(qs, k=5, oversample=4)
+    assert ids.shape == (8, 5) and np.isfinite(s[:, 0]).all()
