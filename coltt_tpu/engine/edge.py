@@ -281,12 +281,16 @@ class EdgeEngine:
 
         t0 = time.perf_counter()
         approx = 0.99 if high_resource else None
+        # PQ-cache collections always rerank the shortlist against the
+        # exact reconstruction (cheap; removes the cache's f8 noise)
+        os_ = 4 if (col.store.is_pq and col.store.pq_cache) else 1
         if candidates is None and self._batcher is not None:
             # coalesce with concurrent unfiltered searches on this store —
             # one stacked device scan serves the whole group
             def scan_fn(queries, kk):
                 return col.store.search(
                     queries, k=kk, approx_recall=approx, fused=high_resource,
+                    oversample=os_,
                 )
 
             scores, slots = self._batcher.run(
@@ -296,7 +300,7 @@ class EdgeEngine:
         else:
             scores, slots = col.store.search(
                 vector, k=k, candidates=candidates,
-                approx_recall=approx, fused=high_resource,
+                approx_recall=approx, fused=high_resource, oversample=os_,
             )
         latency = time.perf_counter() - t0
 
