@@ -147,8 +147,13 @@ def test_edge_engine_batched_search_equals_direct(tmp_path):
     assert eng_b._batcher is not None and eng_d._batcher is None
 
     got = {}
+    # all workers reach the batcher together — without the barrier, slow
+    # scheduling can serialize arrivals into 12 single-query batches and
+    # flake the coalescing assertion
+    barrier = threading.Barrier(12)
 
     def worker(j):
+        barrier.wait()
         got[j] = eng_b.search("c", vecs[j], limit=3)
 
     ts = [threading.Thread(target=worker, args=(j,)) for j in range(12)]
