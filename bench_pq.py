@@ -109,7 +109,7 @@ def main():
         # ~48 GB per 1M-row chunk); recall is PQ-capped by construction
         pqc, _ = pq_encode(chunk, codebook)
         c8, s8, q8 = _pq_cache_rows(
-            pqc, codebook.centroids, block=_cache_block_for(chunk_n)
+            pqc, codebook.centroids, block=_cache_block_for(chunk_n, m)
         )
         return (
             lax.dynamic_update_slice_in_dim(pq_codes, pqc, off, axis=0),

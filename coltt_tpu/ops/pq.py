@@ -59,7 +59,7 @@ _TRAIN_CHUNK = 4096
 _ENCODE_BLOCK = 16384
 # cap on that transient: at higher M (dsub=4 -> M=D/4) the block shrinks
 # so encoding can run next to a fully loaded corpus
-_ENCODE_TRANSIENT_BYTES = 1 << 31
+_ENCODE_TRANSIENT_BYTES = 1 << 30
 
 
 def _encode_block_for(n: int, m: int, n_centroids: int) -> int:

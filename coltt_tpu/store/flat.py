@@ -103,9 +103,11 @@ def _apply_pq_codes(pqcodes, slots, u_codes):
 
 
 # rows per cache-build block: the reconstruct gather materializes an
-# [B*M, dsub] intermediate whose dsub-minor layout lane-pads 16x on TPU —
-# blocking bounds that transient (~800 MB at B=16384, M=96)
+# [B*M, dsub] intermediate whose dsub-minor layout lane-pads to 128 lanes —
+# the budget below bounds that transient so cache builds run next to a
+# fully loaded corpus (B*M*128*4 bytes <= ~800 MB)
 _CACHE_BLOCK = 16384
+_CACHE_TRANSIENT_BYTES = 800 << 20
 
 
 @partial(jax.jit, static_argnames=("block",))
@@ -128,8 +130,11 @@ def _pq_cache_rows(pqcodes, centroids, *, block: int):
     )
 
 
-def _cache_block_for(n: int) -> int:
-    return _CACHE_BLOCK if (n > _CACHE_BLOCK and n % _CACHE_BLOCK == 0) else n
+def _cache_block_for(n: int, m: int = 96) -> int:
+    b = _CACHE_BLOCK
+    while b > 4096 and b * m * 128 * 4 > _CACHE_TRANSIENT_BYTES:
+        b //= 2
+    return b if (n > b and n % b == 0) else n
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "compute_dtype"))
@@ -369,7 +374,7 @@ class FlatStore:
                 self.pqcodes = self._put(u_pq)
                 codes, scale, sqnorm = _pq_cache_rows(
                     u_pq, self.codebook.centroids,
-                    block=_cache_block_for(cap),
+                    block=_cache_block_for(cap, self.pq_m),
                 )
             else:
                 codes, scale, sqnorm = (
@@ -451,7 +456,7 @@ class FlatStore:
                 else:
                     u_codes, u_scale, u_sqnorm = _pq_cache_rows(
                         u_pq, self.codebook.centroids,
-                        block=_cache_block_for(u_pq.shape[0]),
+                        block=_cache_block_for(u_pq.shape[0], self.pq_m),
                     )
                 self.pqcodes = _apply_pq_codes(
                     self.pqcodes, jnp.asarray(slots), u_pq
@@ -752,7 +757,7 @@ class FlatStore:
             return
         codes, scale, sqnorm = _pq_cache_rows(
             self.pqcodes, self.codebook.centroids,
-            block=_cache_block_for(self.capacity),
+            block=_cache_block_for(self.capacity, self.pq_m),
         )
         self.codes = self._put(codes)
         self.scale = self._put(scale)
