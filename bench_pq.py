@@ -64,7 +64,7 @@ def main():
     # 10 x 2^20 rows: block-aligned for the auto-blocked scan (stores allocate
     # in 8192-row quanta; the bench mirrors that)
     n_total, d, k = 10 * (1 << 20), 768, 10
-    chunk_n = 1 << 20
+    chunk_n = 1 << 19  # 0.5M-row transients: M=192 state peaks ~12 GB
     batch = 512
     depth = 8
     n_eval = 64
@@ -131,7 +131,8 @@ def main():
         chunk = gen_rows(kchunk, chunk_n)
         if codebook is None:
             t0 = time.perf_counter()
-            codebook = train_pq(chunk[:262144], m=m, iters=10, opq_iters=4)
+            codebook = train_pq(chunk[:262144], m=m, iters=10, opq_iters=4,
+                                sample_size=65536)
             jax.block_until_ready(codebook.centroids)
             log(f"OPQ+PQ train (64k sample, 10 lloyd x 4 opq): "
                 f"{time.perf_counter()-t0:.1f}s")
