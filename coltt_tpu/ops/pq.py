@@ -419,7 +419,7 @@ def pq_scan_neg_topk(
     k: int,
     metric: Metric = Metric.COSINE,
     compute_dtype=jnp.bfloat16,
-    block_rows: int = _SEARCH_BLOCK,
+    block_rows: Optional[int] = None,
     rotation=None,
 ):
     """ADC top-k over PQ codes: ``(negdist [Q,k], ids [Q,k])``.
@@ -428,7 +428,9 @@ def pq_scan_neg_topk(
     gather in ``compute_dtype`` and scanned with the shared fused
     matmul+epilogue, then block-local top-k partials merge — the same
     local-heap-then-merge shape as ops.topk.scan_neg_topk. ``rotation``
-    (OPQ) is applied to the queries; codes already live rotated.
+    (OPQ) is applied to the queries; codes already live rotated. The
+    default block adapts to M so the lane-padded reconstruct transient
+    (B*M*128 lanes) stays bounded at any subspace count.
     """
     metric = Metric.parse(metric)
     queries = jnp.asarray(queries, jnp.float32)
@@ -436,6 +438,12 @@ def pq_scan_neg_topk(
         queries = queries @ rotation
     n = codes.shape[0]
     kk = min(k, n)
+    if block_rows is None:
+        block_rows = _SEARCH_BLOCK
+        itemsize = jnp.dtype(compute_dtype).itemsize
+        while (block_rows > 8192
+               and block_rows * codes.shape[1] * 128 * itemsize > (3 << 30)):
+            block_rows //= 2
     block = block_rows if (n > block_rows and n % block_rows == 0) else n
 
     def scan_block(c_blk, sq_blk, v_blk):
