@@ -94,9 +94,20 @@ class ScanBatcher:
         try:
             queries = np.stack([p.vector for p in batch])
             kk = max(p.k for p in batch)
+            # pad the stacked batch to a power-of-two row count: otherwise
+            # every distinct coalesced size compiles a fresh scan program
+            # (measured as multi-second p99 spikes under concurrent load)
+            n = queries.shape[0]
+            padded = 1
+            while padded < n:
+                padded *= 2
+            if padded != n:
+                queries = np.concatenate(
+                    [queries, np.repeat(queries[:1], padded - n, axis=0)]
+                )
             scores, ids = scan_fn(queries, kk)
-            scores = np.asarray(scores)
-            ids = np.asarray(ids)
+            scores = np.asarray(scores)[:n]
+            ids = np.asarray(ids)[:n]
             for row, p in enumerate(batch):
                 p.result = (scores[row : row + 1, : p.k], ids[row : row + 1, : p.k])
         except BaseException as e:  # noqa: BLE001 — fan the failure out
