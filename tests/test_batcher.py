@@ -115,7 +115,9 @@ def test_different_keys_do_not_mix():
         t.start()
     for t in ts:
         t.join()
-    assert sum(calls_a) == 3 and sum(calls_b) == 3
+    # batches are padded to power-of-two rows (3 -> 4 when coalesced), so
+    # each scan sees >= its own 3 rows and never the other key's
+    assert 3 <= sum(calls_a) <= 4 and 3 <= sum(calls_b) <= 4
     for key in ("a", "b"):
         for v in range(3):
             assert out[(key, v)][0][0, 0] == float(v)
