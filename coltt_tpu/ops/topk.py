@@ -18,6 +18,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -222,6 +223,27 @@ def rescore_topk(
     kk = min(k, dist.shape[1])
     rneg, sel = lax.top_k(-dist, kk)
     return rneg, jnp.take_along_axis(ids, sel, axis=1)
+
+
+def fetch_scores_ids(scores, ids):
+    """One-round-trip device->host fetch of a (scores f32, ids int32) pair.
+
+    Bitcasts the ids into the score dtype and concatenates, so the result
+    crosses the device boundary as ONE buffer — on a remote-attached TPU
+    each separate ``np.asarray`` is a full round trip (~28 ms measured on
+    the relay; the pair was dominating single-query serving latency).
+    Returns host ``(scores [Q, k] f32, ids [Q, k] int32)``.
+    """
+    packed = jnp.concatenate(
+        [
+            jnp.asarray(scores, jnp.float32),
+            lax.bitcast_convert_type(ids.astype(jnp.int32), jnp.float32),
+        ],
+        axis=1,
+    )
+    host = np.asarray(jax.device_get(packed))
+    k = host.shape[1] // 2
+    return host[:, :k], host[:, k:].view(np.int32)
 
 
 @partial(jax.jit, static_argnames=("k",))

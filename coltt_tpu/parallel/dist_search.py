@@ -37,7 +37,7 @@ from coltt_tpu.ops.scan_pallas import (
 )
 from coltt_tpu.ops.scan_pallas import supports as fused_supports
 from coltt_tpu.ops.score import normalize_score
-from coltt_tpu.ops.topk import rerank_neg_topk, scan_neg_topk
+from coltt_tpu.ops.topk import fetch_scores_ids, rerank_neg_topk, scan_neg_topk
 from coltt_tpu.parallel.mesh import BATCH_AXIS, SHARD_AXIS
 
 
@@ -460,7 +460,8 @@ class DistributedPQIndex:
             jq, k=k, metric=self.metric, compute_dtype=self.compute_dtype,
             rotation=self.rotation,
         )
-        scores, ids = np.asarray(scores)[:q], np.asarray(ids)[:q]
+        scores, ids = fetch_scores_ids(scores, ids)
+        scores, ids = scores[:q], ids[:q]
         ids = np.where(np.isneginf(scores), -1, ids)
         return scores, ids
 
@@ -577,6 +578,7 @@ class DistributedFlatIndex:
                 approx_recall=approx_recall,
                 rr_codes=self.rr_codes, oversample=oversample, fused=fused,
             )
-        scores, ids = np.asarray(scores)[:q], np.asarray(ids)[:q]
+        scores, ids = fetch_scores_ids(scores, ids)
+        scores, ids = scores[:q], ids[:q]
         ids = np.where(np.isneginf(scores), -1, ids)
         return scores, ids

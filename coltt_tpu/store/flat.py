@@ -62,7 +62,7 @@ from coltt_tpu.ops.pq import (
 from coltt_tpu.ops.quant import Quantization, dequantize, quantize, storage_dtype
 from coltt_tpu.ops.scan_pallas import fused_scan_topk
 from coltt_tpu.ops.scan_pallas import supports as fused_supports
-from coltt_tpu.ops.topk import scan_topk
+from coltt_tpu.ops.topk import fetch_scores_ids, scan_topk
 
 _CAPACITY_QUANTUM = 8192
 # candidate-count fraction below which the gather regime wins the masked scan
@@ -608,7 +608,8 @@ class FlatStore:
                 compute_dtype=self.compute_dtype,
                 approx_recall=approx_recall,
             )
-        return self._trim(np.asarray(scores), np.asarray(slots), k)
+        s_host, i_host = fetch_scores_ids(scores, slots)
+        return self._trim(s_host, i_host, k)
 
     def _search_gathered(self, queries, candidates, k, metric):
         n = candidates.size
@@ -636,7 +637,8 @@ class FlatStore:
                 jnp.asarray(cand), jnp.asarray(cand_valid), jnp.asarray(queries),
                 k=min(k, padded), metric=metric, compute_dtype=self.compute_dtype,
             )
-        return self._trim(np.asarray(scores), np.asarray(slots), k)
+        s_host, i_host = fetch_scores_ids(scores, slots)
+        return self._trim(s_host, i_host, k)
 
     @staticmethod
     def _trim(scores, slots, k):

@@ -966,7 +966,9 @@ class HnswIndex:
             ef=ef, k=k, expand=expand, max_iters=max_iters, metric=self.metric,
             compute_dtype=self.device_dtype,
         )
-        d, ids = np.asarray(d), np.asarray(ids)
+        from coltt_tpu.ops.topk import fetch_scores_ids
+
+        d, ids = fetch_scores_ids(d, ids)
         if d.shape[1] < k:
             pad = k - d.shape[1]
             d = np.concatenate([d, np.full((qn, pad), np.inf, np.float32)], axis=1)
