@@ -531,6 +531,7 @@ def build_servicer(mode: str, cfg: Config):
             LocalObjectStore(cfg.storage.object_store_root),
             batch_max=cfg.serving.scan_batch_max,
             batch_wait_s=cfg.serving.scan_batch_wait_ms / 1e3,
+            pq_opq_iters=cfg.serving.pq_opq_iters,
         ))
     if mode in ("root", "core"):
         return CoreServicer(CoreEngine(cfg.storage.data_dir))

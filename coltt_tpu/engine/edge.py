@@ -69,7 +69,9 @@ class EdgeEngine:
         *,
         batch_max: int = 2048,
         batch_wait_s: float = 0.002,
+        pq_opq_iters: int = 4,
     ):
+        self._pq_opq_iters = int(pq_opq_iters)
         self.objects = object_store
         self.state = CollectionStateManager()
         self._collections: Dict[str, _EdgeCollection] = {}
@@ -105,8 +107,8 @@ class EdgeEngine:
                     # PQ collections train with OPQ by default: +0.3
                     # recall@10 on anisotropic data for a one-time
                     # training cost and a [Q, D] query rotation at search
-                    # (ops/pq.py PQCodebook docstring has the numbers)
-                    pq_opq_iters=4,
+                    # (ops/pq.py PQCodebook doc; [serving].pq_opq_iters)
+                    pq_opq_iters=self._pq_opq_iters,
                 ),
                 inverted=InvertedIndex(fields=[f.name for f in schema.fields]),
             )

@@ -76,6 +76,13 @@ BIN_ROWS = 32     # max rows per candidate bin (chunk // _LANES; 16 at
 _LANES = 128      # survivors per chunk = lanes of the reduction tile
 _CHUNK = 2048     # minimum chunk (shape-rule quantum); 4096 used when N allows
 _QBLOCK = 512     # max query rows per grid step
+
+
+def chunk_for(n: int) -> int:
+    """Row-chunk the kernels use for an N-row store: the largest supported
+    chunk dividing N. Everything deriving bin order (bin_live masks, id
+    reconstruction) MUST use this same rule."""
+    return 2 * _CHUNK if n % (2 * _CHUNK) == 0 else _CHUNK
 # tombstoned rows get a large finite negative instead of -inf: packing ORs
 # bits into the mantissa, and -inf|bits would be NaN. Anything below
 # _INVALID_CUT is reported as -inf after selection.
@@ -227,7 +234,7 @@ def fused_scan_neg_topk(
     q, d = queries.shape
     n = codes.shape[0]
     int8 = codes.dtype == jnp.int8
-    chunk = 2 * _CHUNK if n % (2 * _CHUNK) == 0 else _CHUNK
+    chunk = chunk_for(n)
 
     qp, qblock = _pick_qblock(q, 32 if int8 else 8)
     if qp != q:
@@ -422,7 +429,7 @@ def fused_unit_i8_neg_topk(queries, codes, gscale, bin_live, *, k,
     queries = jnp.asarray(queries, jnp.float32)
     q, d = queries.shape
     n = codes.shape[0]
-    chunk = 2 * _CHUNK if n % (2 * _CHUNK) == 0 else _CHUNK
+    chunk = chunk_for(n)
     nsl = chunk // _LANES
     sh = nsl.bit_length() - 1
 

@@ -228,22 +228,27 @@ def rescore_topk(
 def fetch_scores_ids(scores, ids):
     """One-round-trip device->host fetch of a (scores f32, ids int32) pair.
 
-    Bitcasts the ids into the score dtype and concatenates, so the result
-    crosses the device boundary as ONE buffer — on a remote-attached TPU
-    each separate ``np.asarray`` is a full round trip (~28 ms measured on
-    the relay; the pair was dominating single-query serving latency).
-    Returns host ``(scores [Q, k] f32, ids [Q, k] int32)``.
+    Bitcasts the SCORES into int32 and concatenates with the ids, so the
+    result crosses the device boundary as ONE buffer — on a remote-attached
+    TPU each separate ``np.asarray`` is a full round trip (~28 ms measured
+    on the relay; the pair was dominating single-query serving latency).
+    The packing must live in int32 space: the reverse (ids bitcast to f32)
+    turns small ids into denormals, which TPU copies flush to zero, and -1
+    into a NaN payload — int32 lanes are bit-exact for both. Returns host
+    ``(scores [Q, k] f32, ids [Q, k] int32)``.
     """
     packed = jnp.concatenate(
         [
-            jnp.asarray(scores, jnp.float32),
-            lax.bitcast_convert_type(ids.astype(jnp.int32), jnp.float32),
+            lax.bitcast_convert_type(
+                jnp.asarray(scores, jnp.float32), jnp.int32
+            ),
+            ids.astype(jnp.int32),
         ],
         axis=1,
     )
     host = np.asarray(jax.device_get(packed))
     k = host.shape[1] // 2
-    return host[:, :k], host[:, k:].view(np.int32)
+    return host[:, :k].view(np.float32), host[:, k:]
 
 
 @partial(jax.jit, static_argnames=("k",))

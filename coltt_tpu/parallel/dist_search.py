@@ -30,6 +30,7 @@ from coltt_tpu.ops.distance import Metric, scan_distances
 from coltt_tpu.ops.pq import PQCodebook, pq_encode, pq_scan_neg_topk, train_pq
 from coltt_tpu.ops.quant import Quantization, dequantize, quantize, storage_dtype
 from coltt_tpu.ops.scan_pallas import (
+    chunk_for,
     fused_scan_neg_topk,
     fused_unit_i8_neg_topk,
     unit_i8_bin_live,
@@ -192,19 +193,31 @@ def sharded_scan_topk(
     return score, ids
 
 
-def _local_unit_scan_rerank_merge(codes, bin_live, rr_codes, queries, gscale,
+def _local_unit_scan_rerank_merge(codes, bin_live, valid, rr_codes, queries,
+                                  gscale,
                                   *, k, oversample):
-    """Unit-norm int8 cosine path: integer kernel shortlist -> local bf16
-    rerank -> collective merge (see ops/scan_pallas.py unit-i8 section)."""
-    shortlist = min(max(k * oversample, k), codes.shape[0])
-    negd, ids = fused_unit_i8_neg_topk(
-        queries, codes, gscale, bin_live, k=shortlist,
-    )
+    """Unit-norm int8 cosine path: integer kernel shortlist -> invalid-row
+    mask -> local bf16 rerank -> collective merge (ops/scan_pallas.py
+    unit-i8 section). The kernel itself only masks fully-dead bins, so a
+    padding/tombstoned row sharing a live bin can win it (its zero code
+    dots to 0, which outranks negative cosines); masking against ``valid``
+    before the rerank keeps such rows out of the results."""
+    negd, ids = _unit_shortlist(codes, gscale, bin_live, valid, queries,
+                                k=k, oversample=oversample)
     negd, ids = rerank_neg_topk(
         queries, negd, ids, rr_codes, None,
         k=k, metric=Metric.COSINE, compute_dtype=jnp.bfloat16,
     )
     return _merge_partials(negd, ids, codes.shape[0], k)
+
+
+def _unit_shortlist(codes, gscale, bin_live, valid, queries, *, k, oversample):
+    shortlist = min(max(k * oversample, k), codes.shape[0])
+    negd, ids = fused_unit_i8_neg_topk(
+        queries, codes, gscale, bin_live, k=shortlist,
+    )
+    ok = (ids >= 0) & jnp.take(valid, jnp.where(ids >= 0, ids, 0), axis=0)
+    return jnp.where(ok, negd, -jnp.inf), ids
 
 
 @partial(jax.jit, static_argnames=("mesh", "k", "oversample"))
@@ -213,6 +226,7 @@ def sharded_unit_i8_topk(
     codes,
     gscale,
     bin_live,
+    valid,
     rr_codes,
     queries,
     *,
@@ -232,10 +246,8 @@ def sharded_unit_i8_topk(
     memory-minimal deployments. Returns (scores [Q, k] 0-100, ids [Q, k]).
     """
     if mesh.size == 1:
-        shortlist = min(max(k * oversample, k), codes.shape[0])
-        negd, ids = fused_unit_i8_neg_topk(
-            queries, codes, gscale, bin_live, k=shortlist,
-        )
+        negd, ids = _unit_shortlist(codes, gscale, bin_live, valid, queries,
+                                    k=k, oversample=oversample)
         negd, ids = rerank_neg_topk(
             queries, negd, ids, rr_codes, None,
             k=k, metric=Metric.COSINE, compute_dtype=jnp.bfloat16,
@@ -244,12 +256,12 @@ def sharded_unit_i8_topk(
         fn = jax.shard_map(
             partial(_local_unit_scan_rerank_merge, k=k, oversample=oversample),
             mesh=mesh,
-            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P(BATCH_AXIS),
-                      P()),
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                      P(SHARD_AXIS), P(BATCH_AXIS), P()),
             out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
             check_vma=False,
         )
-        negd, ids = fn(codes, bin_live, rr_codes, queries, gscale)
+        negd, ids = fn(codes, bin_live, valid, rr_codes, queries, gscale)
     score = jnp.where(jnp.isinf(negd), -jnp.inf,
                       normalize_score(-negd, Metric.COSINE))
     return score, ids
@@ -529,7 +541,7 @@ class DistributedFlatIndex:
             codes = jnp.round(un / self.gscale).clip(-127, 127).astype(jnp.int8)
             # suffix padding rows are all-zero codes; their bins are masked
             local_n = np_total // n_shards
-            chunk = 2 * 2048 if local_n % (2 * 2048) == 0 else 2048
+            chunk = chunk_for(local_n)
             v2 = np.asarray(jax.device_get(valid)).reshape(n_shards, local_n)
             bl = np.concatenate(
                 [unit_i8_bin_live(v2[s], chunk) for s in range(n_shards)]
@@ -569,7 +581,7 @@ class DistributedFlatIndex:
         if self.unit_i8:
             scores, ids = sharded_unit_i8_topk(
                 self.mesh, self.codes, self.gscale, self.bin_live,
-                self.rr_codes, jq, k=k, oversample=oversample,
+                self.valid, self.rr_codes, jq, k=k, oversample=oversample,
             )
         else:
             scores, ids = sharded_scan_topk(

@@ -31,6 +31,8 @@ REC_DELETE = 2
 REC_BATCH_FINISH = 3
 
 _LOCK_FILE = "FLOCK"
+_FORMAT_FILE = "FORMAT"
+_FORMAT = "2"  # record header v2 (adds the expire stamp)
 
 _HDR = struct.Struct(">BQqII")  # type, batch_id, expire (unix ns, 0=never)
 
@@ -124,8 +126,29 @@ class KV:
             fcntl.flock(self._lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError as e:
             raise RuntimeError(f"data dir {directory} is locked by another process") from e
+        # record-format guard: decoding a v1 (pre-expire, 17-byte header)
+        # log with the v2 layout would corrupt the index silently
+        fmt_path = os.path.join(directory, _FORMAT_FILE)
+        wal_dir = os.path.join(directory, "wal")
+        has_data = os.path.isdir(wal_dir) and any(os.scandir(wal_dir))
+        if os.path.exists(fmt_path):
+            with open(fmt_path) as f:
+                found = f.read().strip()
+            if found != _FORMAT:
+                raise RuntimeError(
+                    f"KV dir {directory} uses record format {found!r}; "
+                    f"this build reads format {_FORMAT!r}"
+                )
+        elif has_data:
+            raise RuntimeError(
+                f"KV dir {directory} predates the record-format marker "
+                "(v1 headers); it cannot be read by this build"
+            )
+        else:
+            with open(fmt_path, "w") as f:
+                f.write(_FORMAT)
         self._wal = WAL(
-            os.path.join(directory, "wal"),
+            wal_dir,
             segment_size=segment_size,
             sync_on_write=sync_on_write,
         )

@@ -538,11 +538,12 @@ class FlatStore:
                 f"query dim {queries.shape[1]} != collection dim {self.dim}"
             )
         k = max(1, int(k))
-        if self.pq_cache and self.codebook is not None:
+        if (self.pq_cache and self.codebook is not None
+                and self.codebook.rotation is not None):
             # the f8 scan cache stores OPQ-rotated reconstructions; rotate
-            # queries to match (no-op without OPQ). The codes-only ADC path
-            # rotates inside pq_scan_topk instead.
-            queries = np.asarray(self.codebook.rotate(jnp.asarray(queries)))
+            # queries to match. Stays a device array — pulling it back to
+            # host would add a full device round trip per search.
+            queries = self.codebook.rotate(jnp.asarray(queries))
 
         if candidates is not None:
             candidates = np.asarray(candidates, np.int32).reshape(-1)
@@ -574,17 +575,31 @@ class FlatStore:
             )
         elif self.pq_cache and self.codebook is not None and oversample > 1:
             # f8-cache shortlist -> exact-reconstruction rerank (queries
-            # were already rotated above; rotation=None here)
+            # were already rotated above; rotation=None here). The
+            # shortlist honors the ``fused`` kernel request when the cache
+            # shape supports it — high_resource searches on PQ collections
+            # keep the Pallas path.
             from coltt_tpu.ops.pq import pq_rerank_neg_topk
+            from coltt_tpu.ops.scan_pallas import fused_scan_neg_topk
             from coltt_tpu.ops.topk import scan_neg_topk
             from coltt_tpu.ops.score import normalize_score
 
             shortlist = min(k * oversample, self.capacity)
-            negd, slots = scan_neg_topk(
-                jnp.asarray(queries), self.codes, self.scale, self.sqnorm,
-                valid, k=shortlist, metric=metric,
-                compute_dtype=self.compute_dtype, approx_recall=approx_recall,
-            )
+            if fused and fused_supports(
+                self.capacity, self.dim, metric, self.codes.dtype
+            ):
+                negd, slots = fused_scan_neg_topk(
+                    jnp.asarray(queries), self.codes, self.scale, self.sqnorm,
+                    valid, k=shortlist, metric=metric,
+                    compute_dtype=self.compute_dtype,
+                )
+            else:
+                negd, slots = scan_neg_topk(
+                    jnp.asarray(queries), self.codes, self.scale, self.sqnorm,
+                    valid, k=shortlist, metric=metric,
+                    compute_dtype=self.compute_dtype,
+                    approx_recall=approx_recall,
+                )
             negd, slots = pq_rerank_neg_topk(
                 jnp.asarray(queries), negd, slots, self.pqcodes,
                 self.codebook.centroids, k=min(k, self.capacity),

@@ -921,7 +921,9 @@ class HnswIndex:
         k: int,
         *,
         ef: Optional[int] = None,
-        expand: int = 4,
+        expand: int = 16,  # sweep on 1M x 128d: expand 4/8/16 -> 2048/2680/3045
+        # QPS at equal recall (fewer while_loop iterations, same total
+        # neighbor expansions)
         device: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched top-k search. Returns (dists [Q,k], slots [Q,k]); missing

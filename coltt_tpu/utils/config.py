@@ -54,6 +54,8 @@ class ServingConfig:
 
     scan_batch_max: int = 2048
     scan_batch_wait_ms: float = 2.0
+    # OPQ rounds for PQ collections (0 disables; ops/pq.py PQCodebook doc)
+    pq_opq_iters: int = 4
 
 
 @dataclass

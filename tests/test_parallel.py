@@ -327,3 +327,29 @@ def test_unit_i8_requires_cosine_and_rerank(rng):
     with pytest.raises(ValueError):
         DistributedFlatIndex(make_mesh(), vecs, metric=Metric.COSINE,
                              quantization=Quantization.I8, unit_i8=True)
+
+
+def test_unit_i8_never_returns_padding_rows(rng):
+    """Adversarial case for the integer path: when every valid row scores a
+    negative cosine, zero-code padding rows (dot exactly 0) would win their
+    bins — the valid-mask before rerank must keep them out of results."""
+    n, d, k = 1000, 128, 5  # n pads to 4096 per shard: mostly padding rows
+    base = np.abs(rng.standard_normal((n, d))).astype(np.float32)
+    q = -np.abs(rng.standard_normal((2, d))).astype(np.float32)
+
+    idx = DistributedFlatIndex(
+        make_mesh(num_shards=1, batch=1), base, metric=Metric.COSINE,
+        quantization=Quantization.I8, rerank_dtype=jnp.bfloat16, unit_i8=True,
+    )
+    scores, ids = idx.search(q, k)
+    # contract: padding rows never surface — every hit is a real row or an
+    # explicit no-result (-1 with -inf score). In this fully-adversarial
+    # case the zero-code padding rows win every shortlisted bin, so the
+    # masked result may be entirely empty; it must never be a padding id
+    # with a fabricated score.
+    finite = np.isfinite(scores)
+    assert ((ids >= 0) & (ids < n))[finite].all(), ids
+    assert (ids[~finite] == -1).all()
+    # sanity: a correlated query still finds real rows
+    s2, i2 = idx.search(base[3:4], k)
+    assert i2[0, 0] == 3 and np.isfinite(s2[0, 0])

@@ -258,3 +258,23 @@ def test_kv_stat(tmp_path):
     assert st["disk_size"] > 1000
     assert st["segments"] >= 1
     kv.close()
+
+
+def test_kv_format_guard(tmp_path):
+    """v1 logs (pre-expire header) are refused instead of silently
+    misdecoded; fresh dirs are stamped; mismatched stamps are refused."""
+    kv = KV(str(tmp_path / "kv"))
+    kv.put(b"a", b"1")
+    kv.close()
+    assert (tmp_path / "kv" / "FORMAT").read_text() == "2"
+    kv2 = KV(str(tmp_path / "kv"))  # reopen fine
+    assert kv2.get(b"a") == b"1"
+    kv2.close()
+    # a dir with data but no marker = v1 -> refuse
+    os.remove(tmp_path / "kv" / "FORMAT")
+    with pytest.raises(RuntimeError, match="format"):
+        KV(str(tmp_path / "kv"))
+    # wrong stamp -> refuse
+    (tmp_path / "kv" / "FORMAT").write_text("999")
+    with pytest.raises(RuntimeError, match="format"):
+        KV(str(tmp_path / "kv"))
