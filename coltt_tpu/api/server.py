@@ -142,13 +142,18 @@ class EdgeServicer:
     def BulkIndex(self, request, context):
         name = request.collection_name
         n = int(request.count)
+        schema = self.engine.get_collection(name)["schema"]
         vecs = np.asarray(request.vectors, np.float32)
-        if n <= 0 or vecs.size % n:
-            raise EngineError("vectors length must be count * dim")
-        vecs = vecs.reshape(n, -1)
+        # validate against the schema dim, not just divisibility: an empty
+        # payload passes size % n == 0 and wrong dims fail much later with
+        # a worse error (ADVICE.md r1)
+        if n <= 0 or vecs.size != n * schema.dim:
+            raise EngineError(
+                f"vectors length {vecs.size} != count {n} * dim {schema.dim}"
+            )
+        vecs = vecs.reshape(n, schema.dim)
         if len(request.primary_keys) != n:
             raise EngineError("primary_keys must parallel rows")
-        schema = self.engine.get_collection(name)["schema"]
         pk_field = schema.primary_key
         mds = [struct_to_dict(m) for m in request.metadata] or [
             {} for _ in range(n)
@@ -277,10 +282,13 @@ class CoreServicer:
 
     def BulkInsert(self, request, context):
         count = int(request.count)
+        dim = self.engine.collection_info(request.collection_name)["spec"].dim
         vecs = np.asarray(request.vectors, np.float32)
-        if count <= 0 or vecs.size % count != 0:
-            raise ValueError("count must divide len(vectors)")
-        vecs = vecs.reshape(count, -1)
+        if count <= 0 or vecs.size != count * dim:
+            raise ValueError(
+                f"vectors length {vecs.size} != count {count} * dim {dim}"
+            )
+        vecs = vecs.reshape(count, dim)
         ids = self.engine.bulk_insert(
             request.collection_name,
             vecs,

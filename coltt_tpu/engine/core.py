@@ -444,10 +444,17 @@ class CoreEngine:
             if cand.size == 0:
                 return []
             if vector is None:
-                slots = cand[:top_k]
-                return self._hits(
-                    col, np.zeros(len(slots)), slots, top_k, 0.0
-                )
+                # no vector -> unscored candidates (reference parity:
+                # core.go FilterSearch returns candidates without scores;
+                # normalize_score(0) would fabricate a perfect 100.0)
+                return [
+                    CoreSearchHit(
+                        id=col.slot_to_id.get(int(s), ""),
+                        score=0.0,
+                        metadata=col.metadata.get(int(s), {}),
+                    )
+                    for s in cand[:top_k]
+                ]
             v = self._check_dim(col, vector)
             d = col.hnsw._dist_many(v, cand)
             order = np.argsort(d)[:top_k]

@@ -66,7 +66,10 @@ def _encode_block_for(n: int, m: int, n_centroids: int) -> int:
     b = _ENCODE_BLOCK
     while b > 4096 and m * b * n_centroids * 4 > _ENCODE_TRANSIENT_BYTES:
         b //= 2
-    return b if (n > b and n % b == 0) else n
+    # any N is fine: _encode_all runs full blocks through lax.map and the
+    # remainder through one static tail block (never the unblocked path —
+    # that reinstated the transient this cap exists to bound)
+    return min(b, n)
 # rows per search block: the reconstructed [B, D] bf16 tile (~200 MB at 768d)
 _SEARCH_BLOCK = 131_072
 
@@ -320,18 +323,28 @@ def train_pq(
 @partial(jax.jit, static_argnames=("block",))
 def _encode_all(x, centroids, csq, *, block: int):
     """[N, D] -> ([N, M] uint8, [N] f32). One dispatch: ``lax.map`` over
-    row blocks bounds the [M, B, K] assignment transient; N % block == 0."""
+    row blocks bounds the [M, B, K] assignment transient; any N — full
+    blocks via the map plus one static remainder block."""
     n, dim = x.shape
     m, _, dsub = centroids.shape
 
     def body(xb):  # [B, D]
-        x_sub = jnp.moveaxis(xb.reshape(block, m, dsub), 0, 1)  # [M, B, dsub]
+        x_sub = jnp.moveaxis(
+            xb.reshape(xb.shape[0], m, dsub), 0, 1
+        )  # [M, B, dsub]
         return _sub_assign(x_sub, centroids, csq).T  # [B, M]
 
-    if n == block:
-        codes = body(x)
-    else:
-        codes = lax.map(body, x.reshape(n // block, block, dim)).reshape(n, m)
+    nb = n // block
+    parts = []
+    if nb:
+        parts.append(
+            lax.map(
+                body, x[: nb * block].reshape(nb, block, dim)
+            ).reshape(nb * block, m)
+        )
+    if n % block:
+        parts.append(body(x[nb * block:]))
+    codes = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     sqnorm = _sqnorm_from_codes(codes, csq.T, block)
     return codes.astype(jnp.uint8), sqnorm
 
@@ -444,7 +457,10 @@ def pq_scan_neg_topk(
         while (block_rows > 8192
                and block_rows * codes.shape[1] * 128 * itemsize > (3 << 30)):
             block_rows //= 2
-    block = block_rows if (n > block_rows and n % block_rows == 0) else n
+    # any N: full blocks through lax.map + one static remainder block (the
+    # old rule silently fell back to an unblocked scan — and its unbounded
+    # reconstruct transient — whenever block_rows did not divide N)
+    block = min(block_rows, n)
 
     def scan_block(c_blk, sq_blk, v_blk):
         rec = _reconstruct(c_blk, centroids, compute_dtype)
@@ -458,6 +474,7 @@ def pq_scan_neg_topk(
         return negd, idx.astype(jnp.int32)
 
     blocks = n // block
+    rem = n % block
     kb = min(kk, block)
 
     def body(i):
@@ -470,6 +487,12 @@ def pq_scan_neg_topk(
     q = queries.shape[0]
     vals = jnp.moveaxis(vals, 0, 1).reshape(q, blocks * kb)
     ids = jnp.moveaxis(ids, 0, 1).reshape(q, blocks * kb)
+    if rem:
+        cut = blocks * block
+        tdist = scan_block(codes[cut:], sqnorm[cut:], valid[cut:])
+        tvals, tidx = lax.top_k(-tdist, min(kk, rem))
+        vals = jnp.concatenate([vals, tvals], axis=1)
+        ids = jnp.concatenate([ids, (tidx + cut).astype(jnp.int32)], axis=1)
     negd, midx = lax.top_k(vals, kk)
     return negd, jnp.take_along_axis(ids, midx, axis=1).astype(jnp.int32)
 

@@ -10,14 +10,20 @@ Why a kernel instead of XLA: the jnp scan (ops/topk.py) materializes the
 ``[Q, N]`` f32 score matrix in HBM — at Q=2048, N=1M that is 8 GB of HBM
 write+read per batch, several times the size of the (int8) corpus itself.
 This kernel keeps each score tile in VMEM and reduces it on the VPU to one
-survivor per bin (16 or 32 rows), so only ``[Q, N/bin]`` f32 words ever
+survivor per bin (16 or 32 rows), so only ``[Q, N/bin]`` words ever
 reach HBM (64-128x less); a small selection pass finishes off. The
-survivor is a single packed f32: the bin's slice index rides in the low
-mantissa bits (a ~2^-18 relative perturbation, far below quantization
-error), so the reduction is a plain ``maximum`` tree, the kernel writes
-ONE output instead of a (vals, ids) pair, and the winner's row id is
-reconstructed bit-wise after the final top-k — no [Q, N/bin] id array,
-no gather.
+survivor is a single packed int32 *monotone key*: the f32 score's bit
+pattern is mapped through the standard sign-fold involution
+(``b ^ ((b >> 31) & 0x7fffffff)``) so integer order equals float order,
+then the bin's slice index replaces the low mantissa bits (a ~2^-18
+relative perturbation, far below quantization error). The reduction is a
+plain integer ``maximum`` tree, the kernel writes ONE output instead of a
+(vals, ids) pair, and the winner's row id is reconstructed bit-wise after
+the final top-k — no [Q, N/bin] id array, no gather. Keys live in int32
+lanes end to end, so scores of 0.0 / denormal magnitude (realistic for
+orthogonal cosine queries) cannot be flushed to zero by the TPU's FTZ
+float paths — flushing would erase the slice bits and fabricate row ids
+(the hazard ADVICE.md r1 flagged; see also ops/topk.py fetch_scores_ids).
 
 Three design rules keep the kernel on the hardware's fast paths (each
 measured on v5e at Q=2048, N=1M, D=768):
@@ -83,8 +89,10 @@ def chunk_for(n: int) -> int:
     chunk dividing N. Everything deriving bin order (bin_live masks, id
     reconstruction) MUST use this same rule."""
     return 2 * _CHUNK if n % (2 * _CHUNK) == 0 else _CHUNK
-# tombstoned rows get a large finite negative instead of -inf: packing ORs
-# bits into the mantissa, and -inf|bits would be NaN. Anything below
+# tombstoned rows get a large finite negative instead of -inf (historical:
+# the pre-int32-key packing ORed bits into the f32 mantissa, where
+# -inf|bits is NaN; with sign-folded integer keys -inf would now be safe,
+# but finite keeps the unpack contract simple). Anything below
 # _INVALID_CUT is reported as -inf after selection.
 _PENALTY = jnp.float32(-3.0e38)
 _INVALID_CUT = -1.0e30
@@ -97,9 +105,10 @@ def _kernel(q_ref, c_ref, rowmul_ref, rowadd_ref, out_ref, *,
 
     ``rowmul``/``rowadd`` are per-row (corpus) factors; per-query factors
     are applied by the caller after the final top-k (see module docstring).
-    The bin reduction packs each 128-lane slice's index into the low
-    mantissa bits and takes an elementwise ``maximum`` over the slices —
-    never across lanes, one output stream.
+    The bin reduction sign-folds each score's bits into a monotone int32
+    key, packs the 128-lane slice's index into the low bits, and takes an
+    elementwise integer ``maximum`` over the slices — never across lanes,
+    one output stream, no float lanes that could flush denormal scores.
     """
     nsl = chunk // _LANES
     mask = jnp.int32(-nsl)  # clears the low log2(nsl) mantissa bits
@@ -121,7 +130,10 @@ def _kernel(q_ref, c_ref, rowmul_ref, rowadd_ref, out_ref, *,
 
     def pack(x, s):
         b = lax.bitcast_convert_type(x, jnp.int32)
-        return lax.bitcast_convert_type((b & mask) | s, jnp.float32)
+        # sign-fold: monotone f32-bits -> int32 key (involution; its own
+        # inverse). Comparison and storage stay in integer lanes.
+        key = b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
+        return (key & mask) | s
 
     m = pack(val[:, :_LANES], 0)
     for s in range(1, nsl):
@@ -134,7 +146,7 @@ def _kernel(q_ref, c_ref, rowmul_ref, rowadd_ref, out_ref, *,
 )
 def _binmax_scan(queries, codes, rowmul, rowadd, *,
                  compute_dtype, chunk, qblock):
-    """Grid scan -> packed per-bin max: [qp, nbins] f32.
+    """Grid scan -> packed per-bin max key: [qp, nbins] int32.
 
     Grid is (row chunks, query blocks) with query blocks minor, so each
     codes tile is fetched from HBM once and reused across all query blocks.
@@ -173,7 +185,7 @@ def _binmax_scan(queries, codes, rowmul, rowadd, *,
         # CPU (test) backend runs the kernel interpreted; TPU compiles Mosaic
         interpret=jax.default_backend() == "cpu",
         out_shape=[
-            jax.ShapeDtypeStruct((qp, nbins), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nbins), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * qp * d * n,
@@ -274,24 +286,33 @@ def fused_scan_neg_topk(
         qmul = jnp.ones((qp, 1), jnp.float32)
         qadd = -jnp.sum(queries * queries, axis=1, keepdims=True)  # -> -dist
 
-    vals = _binmax_scan(
+    keys = _binmax_scan(
         qkern, codes, rowmul.reshape(1, n), rowadd.reshape(1, n),
         compute_dtype=compute_dtype, chunk=chunk, qblock=qblock,
     )
-    kk = min(k, vals.shape[1])
+    kk = min(k, keys.shape[1])
     if final == "auto":
-        final = "approx" if vals.shape[1] > 8192 else "exact"
-    if final == "approx" and kk < vals.shape[1]:
-        best, pos = lax.approx_max_k(vals, kk, recall_target=0.95)
+        final = "approx" if keys.shape[1] > 8192 else "exact"
+    if final == "approx" and kk < keys.shape[1]:
+        # ApproxTopK wants floats: value-convert the keys (monotone; the
+        # rounding loses only the low ~8 bits — resolved below by gathering
+        # the exact int keys at the selected positions and re-sorting)
+        _, pos = lax.approx_max_k(keys.astype(jnp.float32), kk,
+                                  recall_target=0.95)
+        sel = jnp.take_along_axis(keys, pos, axis=1)
+        sel, order = lax.top_k(sel, kk)
+        pos = jnp.take_along_axis(pos, order, axis=1)
     else:
-        best, pos = lax.top_k(vals, kk)  # [qp, kk] over N/bin candidates
-    # unpack: low mantissa bits carry the slice index; the column carries
+        sel, pos = lax.top_k(keys, kk)  # [qp, kk] over N/bin candidates
+    # unpack: low key bits carry the slice index; the column carries
     # (chunk index, lane) — the row id is reconstructed bit-wise
     nsl = chunk // _LANES
-    bits = lax.bitcast_convert_type(best, jnp.int32)
-    ids = ((pos // _LANES) * chunk + (bits & (nsl - 1)) * _LANES
+    ids = ((pos // _LANES) * chunk + (sel & (nsl - 1)) * _LANES
            + pos % _LANES)
-    best = lax.bitcast_convert_type(bits & jnp.int32(-nsl), jnp.float32)
+    keybits = sel & jnp.int32(-nsl)
+    best = lax.bitcast_convert_type(
+        keybits ^ ((keybits >> 31) & jnp.int32(0x7FFFFFFF)), jnp.float32
+    )
 
     # per-query affine back to the negated-distance convention (qmul > 0,
     # so ranking within each query is unchanged; merges stay compatible)
@@ -429,6 +450,14 @@ def fused_unit_i8_neg_topk(queries, codes, gscale, bin_live, *, k,
     queries = jnp.asarray(queries, jnp.float32)
     q, d = queries.shape
     n = codes.shape[0]
+    if not unit_i8_supports(n, d, Metric.COSINE):
+        # dim > 2048 would overflow the <<5 packing + 2^30 offset into
+        # silently wrong ids/scores — refuse at trace time (public entry
+        # point; stores guard, direct callers might not)
+        raise ValueError(
+            f"fused_unit_i8_neg_topk unsupported for n={n}, dim={d}: "
+            f"needs dim % 128 == 0, dim <= 2048, n % {_CHUNK} == 0"
+        )
     chunk = chunk_for(n)
     nsl = chunk // _LANES
     sh = nsl.bit_length() - 1

@@ -126,39 +126,47 @@ class KV:
             fcntl.flock(self._lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError as e:
             raise RuntimeError(f"data dir {directory} is locked by another process") from e
-        # record-format guard: decoding a v1 (pre-expire, 17-byte header)
-        # log with the v2 layout would corrupt the index silently
-        fmt_path = os.path.join(directory, _FORMAT_FILE)
-        wal_dir = os.path.join(directory, "wal")
-        has_data = os.path.isdir(wal_dir) and any(os.scandir(wal_dir))
-        if os.path.exists(fmt_path):
-            with open(fmt_path) as f:
-                found = f.read().strip()
-            if found != _FORMAT:
+        try:
+            # record-format guard: decoding a v1 (pre-expire, 17-byte header)
+            # log with the v2 layout would corrupt the index silently
+            fmt_path = os.path.join(directory, _FORMAT_FILE)
+            wal_dir = os.path.join(directory, "wal")
+            has_data = os.path.isdir(wal_dir) and any(os.scandir(wal_dir))
+            if os.path.exists(fmt_path):
+                with open(fmt_path) as f:
+                    found = f.read().strip()
+                if found != _FORMAT:
+                    raise RuntimeError(
+                        f"KV dir {directory} uses record format {found!r}; "
+                        f"this build reads format {_FORMAT!r}"
+                    )
+            elif has_data:
                 raise RuntimeError(
-                    f"KV dir {directory} uses record format {found!r}; "
-                    f"this build reads format {_FORMAT!r}"
+                    f"KV dir {directory} predates the record-format marker "
+                    "(v1 headers); it cannot be read by this build"
                 )
-        elif has_data:
-            raise RuntimeError(
-                f"KV dir {directory} predates the record-format marker "
-                "(v1 headers); it cannot be read by this build"
+            else:
+                with open(fmt_path, "w") as f:
+                    f.write(_FORMAT)
+            self._wal = WAL(
+                wal_dir,
+                segment_size=segment_size,
+                sync_on_write=sync_on_write,
             )
-        else:
-            with open(fmt_path, "w") as f:
-                f.write(_FORMAT)
-        self._wal = WAL(
-            wal_dir,
-            segment_size=segment_size,
-            sync_on_write=sync_on_write,
-        )
-        self._mu = threading.RLock()
-        self._index: Dict[bytes, _Entry] = {}
-        self._sorted_keys: List[bytes] = []
-        self._sorted_dirty = True
-        self._batch_seq = 0
-        self._watchers: List[Callable[[str, bytes, Optional[bytes]], None]] = []
-        self._replay()
+            self._mu = threading.RLock()
+            self._index: Dict[bytes, _Entry] = {}
+            self._sorted_keys: List[bytes] = []
+            self._sorted_dirty = True
+            self._batch_seq = 0
+            self._watchers: List[Callable[[str, bytes, Optional[bytes]], None]] = []
+            self._replay()
+        except BaseException:
+            # a failed open must not keep the directory flock'd — a caller
+            # catching the error and retrying (or a non-refcounting runtime)
+            # would otherwise deadlock against our own stale lock
+            fcntl.flock(self._lock_f, fcntl.LOCK_UN)
+            self._lock_f.close()
+            raise
 
     # -- startup replay (diskv loadIndexFromWAL, db.go:497) -------------------
     def _replay(self) -> None:

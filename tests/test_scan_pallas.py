@@ -122,6 +122,44 @@ def test_fused_respects_tombstones(rng):
     assert 7 not in np.asarray(i)[0].tolist()
 
 
+def test_fused_zero_dot_winners_keep_ids(rng):
+    """Regression (ADVICE r1): bin winners with score exactly 0.0 used to
+    pack to f32 *denormals* whose only set bits were the slice index —
+    TPU flush-to-zero would erase them and fabricate row ids. The packing
+    now lives in int32 monotone-key space; ids must survive a corpus where
+    every winner's score is exactly 0.0 (orthogonal rows) and every other
+    row scores negative."""
+    n, d = 2048, 128
+    q = np.zeros((1, d), np.float32)
+    q[0, 0] = 1.0
+    vecs = np.zeros((n, d), np.float32)
+    vecs[:, 0] = -0.5        # dot with q strictly negative
+    vecs[:, 1] = 1.0
+    planted = [3, BIN_ROWS + 7, 5 * BIN_ROWS + 11, 900, 2047]
+    for slot in planted:
+        vecs[slot, 0] = 0.0  # dot exactly 0.0 -> packed val exactly 0.0
+    codes = jnp.asarray(vecs)  # f32 codes: dots stay exact
+    sqnorm = jnp.sum(codes * codes, axis=1)
+    valid = jnp.ones((n,), bool)
+    s, i = fused_scan_topk(
+        jnp.asarray(q), codes, None, sqnorm, valid, k=len(planted),
+        metric=Metric.COSINE, final="exact")
+    assert set(np.asarray(i)[0].tolist()) == set(planted)
+    # cosine 0 -> normalized score 50 on the 0-100 scale
+    np.testing.assert_allclose(np.asarray(s)[0], 50.0, atol=1e-3)
+
+
+def test_unit_i8_rejects_wide_dims(rng):
+    """dim > 2048 overflows the <<5 packing — must refuse, not corrupt."""
+    from coltt_tpu.ops.scan_pallas import fused_unit_i8_neg_topk
+
+    codes = jnp.zeros((2048, 2176), jnp.int8)
+    q = jnp.zeros((1, 2176), jnp.float32)
+    live = jnp.ones((2048 // BIN_ROWS * 2,), bool)
+    with pytest.raises(ValueError, match="unsupported"):
+        fused_unit_i8_neg_topk(q, codes, jnp.float32(1.0), live, k=3)
+
+
 def test_fused_all_invalid(rng):
     vecs, codes, scale, sqnorm = _store(rng)
     q = vecs[:2]
