@@ -111,10 +111,10 @@ class EdgeClient(_StubBase):
         """Bulk ingest: one RPC carrying a packed [N, D] float block."""
         import numpy as np
 
-        vecs = np.asarray(vectors, np.float32)
+        vecs = np.ascontiguousarray(np.asarray(vectors, np.float32))
         req = edge_pb2.BulkIndexChange(
             collection_name=name,
-            vectors=vecs.reshape(-1).tolist(),
+            vectors_f32=vecs.astype("<f4", copy=False).tobytes(),
             count=vecs.shape[0],
             primary_keys=list(primary_keys),
             metadata=[dict_to_struct(m) for m in (metadatas or [])],
@@ -140,6 +140,37 @@ class EdgeClient(_StubBase):
             {"id": c.id, "score": c.score, "metadata": struct_to_dict(c.metadata)}
             for c in resp.candidates
         ]
+
+    def search_batch(
+        self, name: str, vectors, *, limit: int = 10, offset: int = 0,
+        filter_expression: Optional[FilterExpression] = None,
+        high_resource: bool = False, include_metadata: bool = False,
+    ):
+        """Batch-native search: one RPC per [Q, D] query block.
+
+        Returns ``(counts, scores, ids, metadatas)`` columnar — query q
+        owns rows [sum(counts[:q]), sum(counts[:q+1])). Queries ride as
+        raw f32 bytes (the fast path the server prefers)."""
+        import numpy as np
+
+        q = np.ascontiguousarray(np.asarray(vectors, np.float32))
+        req = edge_pb2.SearchBatchIndex(
+            collection_name=name,
+            vectors_f32=q.astype("<f4", copy=False).tobytes(),
+            count=q.shape[0],
+            limit=limit,
+            offset=offset,
+            high_resource_avaliable=high_resource,
+            include_metadata=include_metadata,
+        )
+        if filter_expression is not None:
+            req.filter_expression.CopyFrom(filter_to_proto(filter_expression))
+        resp = _raise_on_error(self.call("SearchBatch", req))
+        mds = (
+            [struct_to_dict(m) for m in resp.metadata]
+            if include_metadata else None
+        )
+        return list(resp.counts), list(resp.scores), list(resp.ids), mds
 
 
 class CoreClient(_StubBase):
@@ -199,10 +230,10 @@ class CoreClient(_StubBase):
         """Bulk ingest: one RPC carrying a packed [N, D] float block."""
         import numpy as np
 
-        vecs = np.asarray(vectors, np.float32)
+        vecs = np.ascontiguousarray(np.asarray(vectors, np.float32))
         req = core_pb2.BulkDataset(
             collection_name=name,
-            vectors=vecs.reshape(-1).tolist(),
+            vectors_f32=vecs.astype("<f4", copy=False).tobytes(),
             count=vecs.shape[0],
             ids=list(ext_ids or []),
             metadata=[dict_to_struct(m) for m in (metadatas or [])],
@@ -247,6 +278,32 @@ class CoreClient(_StubBase):
     def hybrid_search(self, name, vector, filters, top_k=10, *, min_score=0.0,
                       with_latency=False):
         return self._search("HybridSearch", name, vector, top_k, filters, min_score, with_latency)
+
+    def vector_search_batch(
+        self, name: str, vectors, top_k: int = 10, *, min_score: float = 0.0,
+        include_metadata: bool = False, with_latency: bool = False,
+    ):
+        """Batch-native HNSW search: columnar ``(counts, scores, ids,
+        metadatas, latency)`` for a [Q, D] query block in one RPC."""
+        import numpy as np
+
+        q = np.ascontiguousarray(np.asarray(vectors, np.float32))
+        req = core_pb2.SearchBatchRequest(
+            collection_name=name,
+            vectors_f32=q.astype("<f4", copy=False).tobytes(),
+            count=q.shape[0],
+            topK=top_k,
+            min_score_threshold=min_score,
+            include_metadata=include_metadata,
+            with_latency=with_latency,
+        )
+        resp = _raise_on_error(self.call("VectorSearchBatch", req))
+        mds = (
+            [struct_to_dict(m) for m in resp.metadata]
+            if include_metadata else None
+        )
+        return (list(resp.counts), list(resp.scores), list(resp.ids), mds,
+                resp.latency)
 
     def compare_dist(self, x, y, metric: int = 0) -> float:
         resp = self.call(

@@ -143,7 +143,10 @@ class EdgeServicer:
         name = request.collection_name
         n = int(request.count)
         schema = self.engine.get_collection(name)["schema"]
-        vecs = np.asarray(request.vectors, np.float32)
+        if request.vectors_f32:
+            vecs = np.frombuffer(request.vectors_f32, dtype="<f4")
+        else:
+            vecs = np.asarray(request.vectors, np.float32)
         # validate against the schema dim, not just divisibility: an empty
         # payload passes size % n == 0 and wrong dims fail much later with
         # a worse error (ADVICE.md r1)
@@ -164,6 +167,35 @@ class EdgeServicer:
             md[pk_field] = pk
         self.engine.index_many(name, mds, vecs)
         return common_pb2.Response(status=True)
+
+    def SearchBatch(self, request, context):
+        name = request.collection_name
+        schema = self.engine.get_collection(name)["schema"]
+        if request.vectors_f32:
+            # fast path: raw LE f32 bytes — zero-copy vs ~1.5M-element
+            # repeated-scalar iteration per 2048 x 768 batch
+            q = np.frombuffer(request.vectors_f32, dtype="<f4")
+        else:
+            q = np.asarray(request.vectors, np.float32)
+        n = int(request.count)
+        if n <= 0 or q.size != n * schema.dim:
+            raise EngineError(
+                f"vectors length {q.size} != count {n} * dim {schema.dim}"
+            )
+        counts, scores, pks, mds = self.engine.search_batch(
+            name, q.reshape(n, schema.dim),
+            limit=int(request.limit) or 10,
+            offset=int(request.offset),
+            filter_expression=filter_from_proto(request.filter_expression),
+            high_resource=request.high_resource_avaliable,
+            with_metadata=request.include_metadata,
+        )
+        resp = edge_pb2.SearchBatchResponse(
+            status=True, counts=counts, scores=scores, ids=pks
+        )
+        if mds is not None:
+            resp.metadata.extend(dict_to_struct(m) for m in mds)
+        return resp
 
     def Search(self, request, context):
         hits = self.engine.search(
@@ -283,7 +315,10 @@ class CoreServicer:
     def BulkInsert(self, request, context):
         count = int(request.count)
         dim = self.engine.collection_info(request.collection_name)["spec"].dim
-        vecs = np.asarray(request.vectors, np.float32)
+        if request.vectors_f32:
+            vecs = np.frombuffer(request.vectors_f32, dtype="<f4")
+        else:
+            vecs = np.asarray(request.vectors, np.float32)
         if count <= 0 or vecs.size != count * dim:
             raise ValueError(
                 f"vectors length {vecs.size} != count {count} * dim {dim}"
@@ -353,6 +388,33 @@ class CoreServicer:
             min_score=request.min_score_threshold,
         )
         return self._respond(hits, t0, request.with_latency)
+
+    def VectorSearchBatch(self, request, context):
+        t0 = time.perf_counter()
+        name = request.collection_name
+        dim = self.engine.collection_info(name)["spec"].dim
+        if request.vectors_f32:
+            q = np.frombuffer(request.vectors_f32, dtype="<f4")
+        else:
+            q = np.asarray(request.vectors, np.float32)
+        n = int(request.count)
+        if n <= 0 or q.size != n * dim:
+            raise ValueError(
+                f"vectors length {q.size} != count {n} * dim {dim}"
+            )
+        counts, scores, ids, mds = self.engine.vector_search_batch(
+            name, q.reshape(n, dim), top_k=int(request.topK) or 10,
+            min_score=request.min_score_threshold,
+            with_metadata=request.include_metadata,
+        )
+        resp = core_pb2.SearchBatchResponse(
+            status=True, counts=counts, scores=scores, ids=ids
+        )
+        if mds is not None:
+            resp.metadata.extend(dict_to_struct(m) for m in mds)
+        if request.with_latency:
+            resp.latency = f"{(time.perf_counter() - t0) * 1e3:.3f}ms"
+        return resp
 
     def CompareDist(self, request, context):
         score = CoreEngine.compare_dist(
@@ -457,6 +519,7 @@ _EDGE_RPCS: Dict[str, Tuple[type, type]] = {
     "Index": (edge_pb2.IndexChange, common_pb2.Response),
     "BulkIndex": (edge_pb2.BulkIndexChange, common_pb2.Response),
     "Search": (edge_pb2.SearchIndex, edge_pb2.SearchResponse),
+    "SearchBatch": (edge_pb2.SearchBatchIndex, edge_pb2.SearchBatchResponse),
 }
 
 _CORE_RPCS: Dict[str, Tuple[type, type]] = {
@@ -473,6 +536,9 @@ _CORE_RPCS: Dict[str, Tuple[type, type]] = {
     "VectorSearch": (core_pb2.SearchRequest, core_pb2.SearchResponse),
     "FilterSearch": (core_pb2.SearchRequest, core_pb2.SearchResponse),
     "HybridSearch": (core_pb2.SearchRequest, core_pb2.SearchResponse),
+    "VectorSearchBatch": (
+        core_pb2.SearchBatchRequest, core_pb2.SearchBatchResponse,
+    ),
     "CompareDist": (core_pb2.CompXyDist, core_pb2.XyDist),
 }
 
@@ -530,23 +596,42 @@ def generic_handler(servicer) -> grpc.GenericRpcHandler:
     return grpc.method_handlers_generic_handler(servicer.SERVICE, handlers)
 
 
-def build_servicer(mode: str, cfg: Config):
-    """Mode dispatcher (NewRootLayer parity, root_layer/root_layer.go:30-37)."""
+def _object_store(cfg: Config):
+    """Checkpoint backend: local FS (default) or the network S3/MinIO
+    client (pkg/minio parity — NewEdge dials MinIO at boot, edge/edge.go:36)."""
+    if cfg.storage.object_store == "s3":
+        from coltt_tpu.storage.s3 import S3ObjectStore
+
+        return S3ObjectStore(
+            cfg.storage.s3_endpoint,
+            cfg.storage.s3_access_key,
+            cfg.storage.s3_secret_key,
+            region=cfg.storage.s3_region,
+            secure=cfg.storage.s3_secure,
+        )
     from coltt_tpu.storage.objectstore import LocalObjectStore
 
+    return LocalObjectStore(cfg.storage.object_store_root)
+
+
+def build_servicer(mode: str, cfg: Config):
+    """Mode dispatcher (NewRootLayer parity, root_layer/root_layer.go:30-37)."""
     if mode == "edge":
         return EdgeServicer(EdgeEngine(
-            LocalObjectStore(cfg.storage.object_store_root),
+            _object_store(cfg),
             batch_max=cfg.serving.scan_batch_max,
             batch_wait_s=cfg.serving.scan_batch_wait_ms / 1e3,
             pq_opq_iters=cfg.serving.pq_opq_iters,
         ))
     if mode in ("root", "core"):
-        return CoreServicer(CoreEngine(cfg.storage.data_dir))
+        return CoreServicer(CoreEngine(
+            cfg.storage.data_dir,
+            kv_auto_merge_interval_s=(
+                cfg.storage.kv_auto_merge_interval_s or None
+            ),
+        ))
     if mode == "experimental":
-        return ExperimentalServicer(
-            ExperimentalEngine(LocalObjectStore(cfg.storage.object_store_root))
-        )
+        return ExperimentalServicer(ExperimentalEngine(_object_store(cfg)))
     raise ValueError(f"unknown mode {mode!r} (want root|edge|experimental)")
 
 

@@ -92,10 +92,14 @@ class CoreSearchHit:
 
 
 class CoreEngine:
-    def __init__(self, data_dir: str):
+    def __init__(self, data_dir: str, *,
+                 kv_auto_merge_interval_s: Optional[float] = None):
         os.makedirs(data_dir, exist_ok=True)
         self.data_dir = data_dir
-        self.kv = KV(os.path.join(data_dir, "commitlog"))
+        self.kv = KV(
+            os.path.join(data_dir, "commitlog"),
+            auto_merge_interval_s=kv_auto_merge_interval_s,
+        )
         self.ids = SnowflakeNode(0)
         self.state = CollectionStateManager()
         self._collections: Dict[str, _CoreCollection] = {}
@@ -430,6 +434,47 @@ class CoreEngine:
             v = self._check_dim(col, vector)
         d, ids = col.hnsw.search(v[None, :], k=top_k, ef=ef)
         return self._hits(col, d[0], ids[0], top_k, min_score)
+
+    def vector_search_batch(
+        self, name: str, vectors: np.ndarray, top_k: int = 10,
+        *, min_score: float = 0.0, ef: Optional[int] = None,
+        with_metadata: bool = False,
+    ):
+        """Batch-native HNSW search: one [Q, D] block through one device
+        beam search (the beam is natively batched — VectorSearchBatch RPC).
+
+        Returns columnar ``(counts [Q], scores flat, ids flat, mds|None)``
+        matching the SearchBatchResponse wire shape."""
+        with self._mu:
+            col = self._require_col(name)
+            queries = np.asarray(vectors, np.float32)
+            if queries.ndim != 2 or queries.shape[1] != col.spec.dim:
+                raise EngineError(
+                    f"queries must be [Q, {col.spec.dim}]", ErrorCode.INTERNAL_FUNC_ERROR
+                )
+        d, ids = col.hnsw.search(queries, k=top_k, ef=ef)
+        metric = col.spec.metric
+        counts: List[int] = []
+        out_scores: List[float] = []
+        out_ids: List[str] = []
+        out_mds: Optional[List[Dict[str, Any]]] = [] if with_metadata else None
+        for r in range(d.shape[0]):
+            row_n = 0
+            for dd, ss in zip(d[r], ids[r]):
+                if ss < 0 or not np.isfinite(dd):
+                    continue
+                score = float(normalize_score(np.float32(dd), metric))
+                if score < min_score:
+                    continue
+                out_scores.append(score)
+                out_ids.append(col.slot_to_id.get(int(ss), ""))
+                if out_mds is not None:
+                    out_mds.append(col.metadata.get(int(ss), {}))
+                row_n += 1
+                if row_n >= top_k:
+                    break
+            counts.append(row_n)
+        return counts, out_scores, out_ids, out_mds
 
     def filter_search(
         self, name: str, filters: Dict[str, str], top_k: int = 10,

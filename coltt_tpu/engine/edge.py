@@ -323,6 +323,90 @@ class EdgeEngine:
         )
         return hits
 
+    def search_batch(
+        self,
+        name: str,
+        vectors: np.ndarray,
+        *,
+        limit: int = 10,
+        offset: int = 0,
+        filter_expression: Optional[FilterExpression] = None,
+        high_resource: bool = False,
+        with_metadata: bool = False,
+    ):
+        """Batch-native search: one [Q, D] query block through ONE device
+        scan (the kernel's cost is ~flat in Q — SearchBatch RPC path).
+
+        Returns columnar results matching the SearchBatchResponse wire
+        shape: ``(counts [Q], scores flat, pks flat, metadatas flat|None)``
+        — query q owns rows [sum(counts[:q]), sum(counts[:q+1])). Columnar
+        keeps per-hit Python object construction off the hot path (2048
+        queries x k=10 = 20k hits per RPC).
+        """
+        with self._mu:
+            self.state.require_loaded(name)
+            col = self._collections[name]
+        queries = np.asarray(vectors, np.float32)
+        if queries.ndim != 2:
+            raise EngineError("search_batch wants a [Q, dim] query block")
+        limit = max(1, int(limit))
+        offset = max(0, int(offset))
+        k = limit + offset
+
+        candidates = None
+        if filter_expression is not None:
+            if isinstance(filter_expression, dict):
+                filter_expression = filter_from_dict(filter_expression)
+            candidates = col.inverted.search(filter_expression).ids()
+
+        t0 = time.perf_counter()
+        approx = 0.99 if high_resource else None
+        os_ = 4 if (col.store.is_pq and col.store.pq_cache) else 1
+        if candidates is None and self._batcher is not None:
+            def scan_fn(q, kk):
+                return col.store.search(
+                    q, k=kk, approx_recall=approx, fused=high_resource,
+                    oversample=os_,
+                )
+
+            scores, slots = self._batcher.run(
+                (name, id(col.store), bool(high_resource)),
+                scan_fn, queries, k,
+            )
+        else:
+            scores, slots = col.store.search(
+                queries, k=k, candidates=candidates,
+                approx_recall=approx, fused=high_resource, oversample=os_,
+            )
+        latency = time.perf_counter() - t0
+
+        # columnar flatten, vectorized: a per-row Python loop here measured
+        # ~10x the device scan at Q=2048 (row-major ravel preserves the
+        # within-query descending order)
+        scores = np.asarray(scores)[:, offset:]
+        slots = np.asarray(slots)[:, offset:]
+        keep = (slots >= 0) & np.isfinite(scores)
+        counts = keep.sum(axis=1).tolist()
+        flat = keep.ravel()
+        out_scores = scores.ravel()[flat].tolist()
+        flat_slots = slots.ravel()[flat]
+        pk_of = col.store.slot_to_pk
+        out_pks = [pk_of.get(int(s), "") for s in flat_slots]
+        out_mds: Optional[List[Dict[str, Any]]] = None
+        if with_metadata:
+            md_of = col.metadata
+            out_mds = [md_of.get(int(s), {}) for s in flat_slots]
+        flatten_ms = (time.perf_counter() - t0 - latency) * 1e3
+        log.debug(
+            "search_batch",
+            extra={"kv": {
+                "collection": name, "q": queries.shape[0],
+                "scan_ms": round(latency * 1e3, 2),
+                "flatten_ms": round(flatten_ms, 2),
+            }},
+        )
+        return counts, out_scores, out_pks, out_mds
+
     # -- checkpoint objects -------------------------------------------------------
     def _flush_objects(self, name: str, col: _EdgeCollection) -> None:
         buf = io.BytesIO()

@@ -94,7 +94,10 @@ def chunk_for(n: int) -> int:
 # -inf|bits is NaN; with sign-folded integer keys -inf would now be safe,
 # but finite keeps the unpack contract simple). Anything below
 # _INVALID_CUT is reported as -inf after selection.
-_PENALTY = jnp.float32(-3.0e38)
+# plain Python floats, NOT jnp scalars: a module-level jnp constant
+# initializes the XLA backend at import, which breaks
+# jax.distributed.initialize in multi-process programs
+_PENALTY = -3.0e38
 _INVALID_CUT = -1.0e30
 
 
@@ -407,7 +410,8 @@ def _binmax_scan_i8(queries_i8, codes_i8, *, chunk, qblock):
     return vals
 
 
-_DEAD = jnp.int32(-(1 << 30))  # below any real packed value (see supports)
+_DEAD = -(1 << 30)  # below any real packed value (see supports); plain int
+                    # so importing this module never initializes the backend
 
 
 def unit_i8_supports(n: int, dim: int, metric) -> bool:

@@ -1,22 +1,30 @@
 """Bitcask-style key-value store on the WAL (the core commit log).
 
-Reference parity: ``diskv/`` — Open with directory lock + full index replay
+Reference parity: ``diskv/`` — Open with directory lock + index build
 (db.go:71-147,497+), Put/Get/Delete/Exist each wrapping a single-op Batch
 (db.go:245-300), batches with ids and a batch-finish marker record
 (batch.go:115-344), ordered iteration (db.go:309-469), Merge compaction
-rewriting live records with a hint-style index swap (merge.go:40-330), and
-Watch events (watch.go:25-119). Record format: type + batch_id + expire +
-key/value lengths + payload, CRC at the WAL chunk layer (record.go:42-130);
-record expiry (record.go:52-57, checked on read db.go:470-495 and dropped
-by merge merge.go:138) is honored via per-key TTLs.
+rewriting live records with a hint file for fast index rebuild
+(merge.go:40-330, hint write :180-221), cron-scheduled auto-merge
+(options.go:55-62 + merge.go:239-330 — here a plain interval thread), and
+buffered async Watch events (watch.go:25-119 — a ring that drops oldest on
+overflow, dispatched OFF the write path). Record format: type + batch_id +
+expire + key/value lengths + payload, CRC at the WAL chunk layer
+(record.go:42-130); record expiry (record.go:52-57, checked on read
+db.go:470-495 and dropped by merge merge.go:138) is honored via per-key
+TTLs.
 
 The in-memory index is a plain dict + lazily-sorted key list (the role of
 diskv's btree); compaction rewrites live records into fresh segments and
-drops the old ones.
+drops the old ones. Reopen loads the newest HINT snapshot (written on
+merge and on clean close) and replays only WAL records past the hint
+boundary — a compacted 1M-record log reopens without touching the payload
+segments.
 """
 
 from __future__ import annotations
 
+import collections
 import fcntl
 import os
 import struct
@@ -33,8 +41,12 @@ REC_BATCH_FINISH = 3
 _LOCK_FILE = "FLOCK"
 _FORMAT_FILE = "FORMAT"
 _FORMAT = "2"  # record header v2 (adds the expire stamp)
+_HINT_FILE = "HINT"
+_HINT_MAGIC = b"CTTHINT1"
 
 _HDR = struct.Struct(">BQqII")  # type, batch_id, expire (unix ns, 0=never)
+# hint entries: expire + ChunkPosition + key length (key bytes follow)
+_HINT_ENT = struct.Struct(">qIIIII")
 
 
 def _encode_record(rtype: int, batch_id: int, key: bytes, value: bytes,
@@ -111,6 +123,7 @@ class Batch:
                     db._index[key] = _Entry(pos, expire)
                     db._emit("put", key, value)
             db._sorted_dirty = True
+            db._writes_since_merge += len(keys)
         self._pending = {}
 
 
@@ -118,7 +131,9 @@ class KV:
     """Single-process KV with crash-safe replay."""
 
     def __init__(self, directory: str, *, segment_size: int = 1 << 30,
-                 sync_on_write: bool = False):
+                 sync_on_write: bool = False,
+                 auto_merge_interval_s: Optional[float] = None,
+                 watch_buffer: int = 8192):
         os.makedirs(directory, exist_ok=True)
         self.directory = directory
         self._lock_f = open(os.path.join(directory, _LOCK_FILE), "w")
@@ -159,7 +174,26 @@ class KV:
             self._sorted_dirty = True
             self._batch_seq = 0
             self._watchers: List[Callable[[str, bytes, Optional[bytes]], None]] = []
+            # async watch dispatch (watch.go buffered queue): a bounded ring
+            # drained by one daemon thread, so a slow watcher never stalls
+            # writers (events drop oldest on overflow, like the Go ring)
+            self._events: collections.deque = collections.deque(
+                maxlen=max(1, int(watch_buffer))
+            )
+            self._events_cv = threading.Condition()
+            self._stop = threading.Event()
+            self._dispatcher: Optional[threading.Thread] = None
+            self._merger: Optional[threading.Thread] = None
+            self._writes_since_merge = 0
+            self.replayed_records = 0  # observability: hint effectiveness
             self._replay()
+            self._auto_merge_interval_s = auto_merge_interval_s
+            if auto_merge_interval_s:
+                self._merger = threading.Thread(
+                    target=self._auto_merge_loop, daemon=True,
+                    name="kv-auto-merge",
+                )
+                self._merger.start()
         except BaseException:
             # a failed open must not keep the directory flock'd — a caller
             # catching the error and retrying (or a non-refcounting runtime)
@@ -168,11 +202,87 @@ class KV:
             self._lock_f.close()
             raise
 
+    # -- hint snapshot (diskv merge.go:180-221 hint files) ---------------------
+    def write_hint(self) -> None:
+        """Snapshot the in-memory index + WAL boundary so the next open
+        replays only records past the boundary. Written on merge() and on
+        clean close(); atomic via tmp+rename."""
+        with self._mu:
+            self._wal.sync()
+            boundary_seg = self._wal._active_id
+            boundary_off = self._wal._write_off
+            seq = self._batch_seq
+            items = list(self._index.items())
+        parts = [
+            _HINT_MAGIC,
+            struct.pack(">IQQQ", boundary_seg, boundary_off, seq, len(items)),
+        ]
+        for key, ent in items:
+            p = ent.pos
+            parts.append(_HINT_ENT.pack(
+                ent.expire, p.segment_id, p.block_number, p.chunk_offset,
+                p.chunk_size, len(key),
+            ))
+            parts.append(key)
+        path = os.path.join(self.directory, _HINT_FILE)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(b"".join(parts))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def _load_hint(self) -> Optional[Tuple[int, int]]:
+        """Load the HINT snapshot into the index; returns the replay
+        boundary ``(segment_id, abs_offset)`` or None (full replay). A hint
+        referencing segments the WAL no longer has (e.g. a crash between a
+        later merge's segment swap and its hint write) is discarded."""
+        path = os.path.join(self.directory, _HINT_FILE)
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+            if data[: len(_HINT_MAGIC)] != _HINT_MAGIC:
+                return None
+            off = len(_HINT_MAGIC)
+            bseg, boff, seq, count = struct.unpack_from(">IQQQ", data, off)
+            off += struct.calcsize(">IQQQ")
+            live = set(self._wal.segments())
+            if bseg not in live:
+                return None
+            index: Dict[bytes, _Entry] = {}
+            now = time.time_ns()
+            for _ in range(count):
+                expire, seg, blk, coff, csz, klen = _HINT_ENT.unpack_from(
+                    data, off
+                )
+                off += _HINT_ENT.size
+                key = data[off: off + klen]
+                off += klen
+                if seg not in live:
+                    return None  # stale hint: payload segment is gone
+                if expire == 0 or expire > now:
+                    index[key] = _Entry(
+                        ChunkPosition(seg, blk, coff, csz), expire
+                    )
+        except (struct.error, IndexError, OSError):
+            return None
+        self._index = index
+        self._batch_seq = max(self._batch_seq, seq)
+        return bseg, boff
+
     # -- startup replay (diskv loadIndexFromWAL, db.go:497) -------------------
     def _replay(self) -> None:
+        boundary = self._load_hint()
         now = time.time_ns()
         staged: Dict[int, List[Tuple[int, bytes, ChunkPosition, int]]] = {}
-        for payload, pos in self._wal.read_all():
+        records = (
+            self._wal.read_from(*boundary) if boundary is not None
+            else self._wal.read_all()
+        )
+        for payload, pos in records:
+            self.replayed_records += 1
             rtype, batch_id, key, _, expire = _decode_record(payload)
             if rtype == REC_BATCH_FINISH:
                 for r, k, p, e in staged.pop(batch_id, []):
@@ -276,16 +386,48 @@ class KV:
                       if k in self._index and self._index[k].live(now)]
         return ks
 
-    # -- watch (watch.go) -------------------------------------------------------
+    # -- watch (watch.go buffered event queue) ---------------------------------
     def watch(self, fn: Callable[[str, bytes, Optional[bytes]], None]) -> None:
-        self._watchers.append(fn)
+        """Register a watcher. Events are dispatched from a dedicated
+        thread (never inside the write lock): a slow watcher delays other
+        watchers' delivery, not writers. The buffer is a bounded ring that
+        drops the oldest event on overflow (watch.go:25-119 semantics)."""
+        with self._mu:
+            self._watchers.append(fn)
+            if self._dispatcher is None:
+                self._dispatcher = threading.Thread(
+                    target=self._dispatch_loop, daemon=True, name="kv-watch"
+                )
+                self._dispatcher.start()
+
+    def unwatch(self, fn: Callable) -> None:
+        with self._mu:
+            if fn in self._watchers:
+                self._watchers.remove(fn)
 
     def _emit(self, event: str, key: bytes, value: Optional[bytes]) -> None:
-        for fn in self._watchers:
-            try:
-                fn(event, key, value)
-            except Exception:
-                pass
+        # O(1) enqueue under the write lock; delivery happens elsewhere
+        if not self._watchers:
+            return
+        with self._events_cv:
+            self._events.append((event, key, value))
+            self._events_cv.notify()
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            with self._events_cv:
+                while not self._events and not self._stop.is_set():
+                    self._events_cv.wait(0.1)
+                if not self._events:
+                    if self._stop.is_set():
+                        return
+                    continue
+                ev = self._events.popleft()
+            for fn in list(self._watchers):
+                try:
+                    fn(*ev)
+                except Exception:
+                    pass
 
     # -- compaction (diskv merge.go) ---------------------------------------------
     def merge(self) -> None:
@@ -316,11 +458,32 @@ class KV:
             self._index = new_index
             self._sorted_dirty = True
             self._wal.remove_segments([s for s in old_segments if s < boundary])
+            self._writes_since_merge = 0
+            # hint AFTER the segment swap so a crash in between leaves a
+            # stale hint that _load_hint discards (full replay, still safe)
+            self.write_hint()
+
+    def _auto_merge_loop(self) -> None:
+        """Scheduled compaction (diskv options.go:55-62 AutoMergeCronExpr /
+        merge.go:239-330 — an interval stands in for the cron spec)."""
+        while not self._stop.wait(self._auto_merge_interval_s):
+            if self._writes_since_merge:
+                try:
+                    self.merge()
+                except Exception:
+                    pass  # next tick retries; merge failures must not kill the thread
 
     def sync(self) -> None:
         self._wal.sync()
 
     def close(self) -> None:
+        self._stop.set()
+        with self._events_cv:
+            self._events_cv.notify_all()
+        for t in (self._dispatcher, self._merger):
+            if t is not None:
+                t.join(timeout=5.0)
+        self.write_hint()  # clean close -> next open skips the full replay
         self._wal.close()
         fcntl.flock(self._lock_f, fcntl.LOCK_UN)
         self._lock_f.close()

@@ -232,7 +232,24 @@ class WAL:
 
     def read_all(self) -> Iterator[Tuple[bytes, ChunkPosition]]:
         """Replay every payload in log order (index rebuild path)."""
-        for seg_id in self._segment_ids:
+        yield from self._iter_segments(self._segment_ids)
+
+    def read_from(self, start_segment: int, start_offset: int
+                  ) -> Iterator[Tuple[bytes, ChunkPosition]]:
+        """Replay only payloads at/after ``(start_segment, start_offset)``
+        — the hint-file fast-reopen path: segments before the boundary are
+        never opened; the boundary segment is scanned but records below the
+        absolute byte offset are dropped."""
+        segs = [s for s in self._segment_ids if s >= start_segment]
+        for payload, pos in self._iter_segments(segs):
+            if (pos.segment_id == start_segment
+                    and pos.block_number * BLOCK_SIZE + pos.chunk_offset
+                    < start_offset):
+                continue
+            yield payload, pos
+
+    def _iter_segments(self, seg_ids) -> Iterator[Tuple[bytes, ChunkPosition]]:
+        for seg_id in seg_ids:
             path = _segment_path(self.directory, seg_id)
             if not os.path.exists(path):
                 continue

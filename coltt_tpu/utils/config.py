@@ -34,6 +34,17 @@ class StorageConfig:
     object_store_root: str = "./object_store"
     wal_segment_size: int = 1 << 30
     wal_sync_on_write: bool = False
+    # scheduled commit-log compaction (diskv AutoMergeCronExpr parity,
+    # options.go:55-62; an interval stands in for the cron spec). 0 = off.
+    kv_auto_merge_interval_s: float = 0.0
+    # edge/experimental checkpoint backend: "local" (filesystem) or "s3"
+    # (network MinIO/S3 client, pkg/minio parity — storage/s3.py)
+    object_store: str = "local"
+    s3_endpoint: str = "localhost:9000"   # reference dial target (edge.go:36)
+    s3_access_key: str = "minioadmin"     # reference creds default
+    s3_secret_key: str = "minioadmin"
+    s3_region: str = "us-east-1"
+    s3_secure: bool = False
 
 
 @dataclass

@@ -36,7 +36,13 @@ def get_logger(name: str = "coltt") -> logging.Logger:
         handler.setFormatter(_KVFormatter())
         root = logging.getLogger("coltt")
         root.addHandler(handler)
-        root.setLevel(logging.INFO)
+        # COLTT_LOG_LEVEL=debug surfaces per-phase engine timings
+        import os as _os
+
+        root.setLevel(
+            getattr(logging, _os.environ.get("COLTT_LOG_LEVEL", "INFO").upper(),
+                    logging.INFO)
+        )
         root.propagate = False
         _configured = True
     if name == "coltt" or name.startswith("coltt."):

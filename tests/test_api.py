@@ -184,6 +184,60 @@ def test_experimental_full_flow(exp, rng):
     exp.delete_collection("mv")
 
 
+def test_edge_search_batch_rpc(edge, rng):
+    edge.create_collection(_edge_schema())
+    vecs = rng.standard_normal((64, DIM), dtype=np.float32)
+    edge.bulk_index(
+        "docs", [f"p{i}" for i in range(64)], vecs,
+        [{"lang": ["ko", "en"][i % 2]} for i in range(64)],
+    )
+    counts, scores, ids, mds = edge.search_batch(
+        "docs", vecs[:8], limit=3, include_metadata=True
+    )
+    assert len(counts) == 8 and sum(counts) == len(ids) == len(scores)
+    off = 0
+    for q in range(8):
+        assert counts[q] >= 1
+        assert ids[off] == f"p{q}"          # self-match first
+        assert scores[off] > 99.0
+        assert mds[off]["pk"] == f"p{q}"
+        # scores within a query are descending
+        row = scores[off:off + counts[q]]
+        assert all(a >= b - 1e-4 for a, b in zip(row, row[1:]))
+        off += counts[q]
+    # metadata omitted by default (marshal stays off the hot path)
+    counts2, scores2, ids2, mds2 = edge.search_batch("docs", vecs[:4], limit=2)
+    assert mds2 is None and len(counts2) == 4
+    # filtered batch path (direct, bypasses the coalescer)
+    expr = Filter("lang", Op.EQ, "ko")
+    counts3, _, ids3, _ = edge.search_batch(
+        "docs", vecs[:4], limit=8, filter_expression=expr,
+        include_metadata=True,
+    )
+    assert all(int(i[1:]) % 2 == 0 for i in ids3)  # "ko" rows are even
+    # dim mismatch surfaces as an error response
+    with pytest.raises(RuntimeError, match="dim"):
+        edge.search_batch("docs", rng.standard_normal((2, DIM + 1)))
+
+
+def test_core_vector_search_batch_rpc(core, rng):
+    core.create_collection("c", DIM)
+    vecs = rng.standard_normal((30, DIM), dtype=np.float32)
+    ids = core.bulk_insert(
+        "c", vecs, [{"tag": f"t{i % 3}"} for i in range(30)],
+        ext_ids=[f"id{i}" for i in range(30)],
+    )
+    counts, scores, rids, mds, latency = core.vector_search_batch(
+        "c", vecs[:6], top_k=3, include_metadata=True, with_latency=True,
+    )
+    assert len(counts) == 6 and latency.endswith("ms")
+    off = 0
+    for q in range(6):
+        assert rids[off] == f"id{q}"
+        assert mds[off]["tag"] == f"t{q % 3}"
+        off += counts[q]
+
+
 def test_core_bulk_insert_rpc(core, rng):
     core.create_collection("b", DIM)
     vecs = rng.standard_normal((120, DIM), dtype=np.float32)

@@ -45,6 +45,47 @@ def test_cosine_score_delta_under_one_point(q, dim, rng):
     assert delta <= 1.0, f"{q.name} dim={dim}: max score delta {delta}"
 
 
+def _row_scores(x, y):
+    """Per-pair normalized cosine scores, vectorized over rows."""
+    dots = np.einsum("nd,nd->n", x, y, dtype=np.float64)
+    nx = np.linalg.norm(x.astype(np.float64), axis=1)
+    ny = np.linalg.norm(y.astype(np.float64), axis=1)
+    d = 1.0 - dots / np.maximum(nx * ny, 1e-30)
+    return ((2.0 - d) / 2.0) * 100.0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "q",
+    [Quantization.F16, Quantization.BF16, Quantization.F8, Quantization.I8],
+)
+@pytest.mark.parametrize("dim", DIMS)
+def test_cosine_contract_statistical(q, dim, rng):
+    """The reference's full statistical contract: 100k+ random pairs per
+    (codec x dim) with max |score delta| <= 1.0 on the 0-100 scale
+    (compresshelper_test.go:39-414 runs 1M pairs; 100k gives the same
+    tail power to ~3x rarer events and keeps the suite's slow lane
+    tractable — the 256-pair fast test above guards per-commit)."""
+    total, chunk = 100_000, 16_384
+    worst = 0.0
+    done = 0
+    while done < total:
+        n = min(chunk, total - done)
+        xs = rng.standard_normal((n, dim), dtype=np.float32)
+        ys = rng.standard_normal((n, dim), dtype=np.float32)
+        cx, sx = quantize(xs, q)
+        cy, sy = quantize(ys, q)
+        dx = np.asarray(dequantize(cx, sx))
+        dy = np.asarray(dequantize(cy, sy))
+        delta = np.abs(_row_scores(xs, ys) - _row_scores(dx, dy)).max()
+        worst = max(worst, float(delta))
+        assert worst <= 1.0, (
+            f"{q.name} dim={dim}: max score delta {worst} after "
+            f"{done + n} pairs"
+        )
+        done += n
+
+
 @pytest.mark.parametrize(
     "q",
     [Quantization.NONE, Quantization.F16, Quantization.BF16, Quantization.F8,
