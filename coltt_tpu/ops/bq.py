@@ -1,0 +1,137 @@
+"""Binary quantization (BQ): 1-bit sign codes, Hamming shortlist, rerank.
+
+Reference parity: ``Quantization_BQ`` is a *reserved* enum value in the
+reference protos (``idl/proto/v3/core.proto`` Quantization) that was never
+implemented there; the closest shipped machinery is the vendored popcount
+bitset (``pkg/bitset/popcnt_amd64.s``) and the hamming distance registered
+in ``pkg/distancepq/distance.go:52-86``. This module completes the mode.
+
+TPU-native design: each vector becomes its sign bits packed into uint32
+words (``[N, ceil(D/32)]`` — 32x smaller than f32, 8x smaller than i8).
+Search is a streaming XOR + ``lax.population_count`` scan (pure VPU work;
+the packed corpus is so small the scan is compute-bound, not HBM-bound),
+shortlisting ``k * oversample`` rows by Hamming distance, then an optional
+rerank of the gathered shortlist against a higher-precision copy (the same
+``ops.topk.rerank_neg_topk`` machinery the fused i8 path uses). Hamming on
+sign bits estimates the angle: ``cos(theta) ~= cos(pi * H / D)`` — exact in
+expectation for random hyperplane signs — so the shortlist ranking tracks
+cosine ranking, and the rerank restores the top-k ordering.
+
+BQ is cosine-only: sign bits carry no magnitude, so euclidean/manhattan
+ranking is undefined (the reference's hamming distance is likewise a
+standalone metric, not a euclidean stand-in).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# [Q, block, W] popcount transient budget (pre-fusion upper bound); blocks
+# bound HBM next to a loaded corpus the same way ops.topk blocks do.
+_BQ_TRANSIENT_BYTES = 1 << 30
+_ALIGN = 8192
+
+
+def bq_words(dim: int) -> int:
+    """uint32 words per packed row."""
+    return -(-int(dim) // 32)
+
+
+def bq_encode(x) -> jnp.ndarray:
+    """Pack sign bits of ``x [..., D] f32`` into ``[..., ceil(D/32)] uint32``.
+
+    Bit ``j`` of word ``w`` is ``x[..., 32*w + j] > 0``. Padding dims (when
+    D % 32 != 0) are zero bits for every row *and* every query, so they XOR
+    to zero and never contribute Hamming distance.
+    """
+    x = jnp.asarray(x)
+    d = x.shape[-1]
+    w = bq_words(d)
+    pad = w * 32 - d
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    bits = (x > 0).astype(jnp.uint32).reshape(x.shape[:-1] + (w, 32))
+    shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(bits * shifts, axis=-1, dtype=jnp.uint32)
+
+
+def _block_count(n: int, q: int, w: int) -> int:
+    if q * n * w * 4 <= _BQ_TRANSIENT_BYTES or n % _ALIGN != 0:
+        return 1
+    need = -(-(q * n * w * 4) // _BQ_TRANSIENT_BYTES)
+    units = n // _ALIGN
+    blocks = need
+    while blocks <= units and units % blocks != 0:
+        blocks += 1
+    return blocks if blocks <= units else 1
+
+
+def _hamming_block(qp, cp, valid):
+    """qp [Q, W], cp [B, W], valid [B] -> negated Hamming [Q, B] f32."""
+    x = lax.population_count(qp[:, None, :] ^ cp[None, :, :])  # [Q, B, W]
+    h = jnp.sum(x.astype(jnp.int32), axis=-1)                  # [Q, B]
+    neg = -h.astype(jnp.float32)
+    if valid is not None:
+        neg = jnp.where(valid[None, :], neg, -jnp.inf)
+    return neg
+
+
+@partial(jax.jit, static_argnames=("k",))
+def bq_scan_neg_topk(queries_packed, codes_packed, valid, *, k: int):
+    """Hamming top-k over packed codes.
+
+    ``queries_packed [Q, W]`` / ``codes_packed [N, W]`` uint32,
+    ``valid [N]`` bool (tombstones). Returns ``(neg_hamming [Q, k] f32,
+    ids [Q, k] int32)`` — negated so larger is better, matching every other
+    ``*_neg_topk`` merge key (invalid rows carry -inf / id untrimmed).
+    """
+    q, w = queries_packed.shape
+    n = codes_packed.shape[0]
+    kk = min(k, n)
+    blocks = _block_count(n, q, w)
+    if blocks == 1:
+        neg = _hamming_block(queries_packed, codes_packed, valid)
+        return lax.top_k(neg, kk)
+    block = n // blocks
+    kb = min(kk, block)
+
+    def body(i):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, i * block, block, axis=0)
+        neg = _hamming_block(
+            queries_packed, sl(codes_packed),
+            None if valid is None else sl(valid),
+        )
+        vals, idx = lax.top_k(neg, kb)
+        return vals, (idx + i * block).astype(jnp.int32)
+
+    vals, ids = lax.map(body, jnp.arange(blocks))
+    vals = jnp.moveaxis(vals, 0, 1).reshape(q, blocks * kb)
+    ids = jnp.moveaxis(ids, 0, 1).reshape(q, blocks * kb)
+    negh, midx = lax.top_k(vals, kk)
+    return negh, jnp.take_along_axis(ids, midx, axis=1).astype(jnp.int32)
+
+
+def bq_decode(packed, dim: int) -> jnp.ndarray:
+    """Unpack ``[..., W] uint32`` sign bits back to ``[..., D]`` f32 in
+    {-1, +1} (the only reconstruction 1 bit supports)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (packed[..., :, None] >> shifts) & jnp.uint32(1)   # [..., W, 32]
+    x = bits.reshape(packed.shape[:-1] + (-1,))[..., :dim]
+    return jnp.where(x > 0, 1.0, -1.0).astype(jnp.float32)
+
+
+def hamming_to_neg_cos_dist(neg_hamming, dim: int):
+    """Map negated Hamming to negated cosine distance via the random-
+    hyperplane angle estimate ``cos(theta) ~= cos(pi * H / D)``.
+
+    Keeps BQ-only results (no rerank copy) on the same 0-100 score scale
+    as every other mode. -inf (tombstone) passes through.
+    """
+    est_cos = jnp.cos(jnp.pi * (-neg_hamming) / float(dim))
+    negd = -(1.0 - est_cos)
+    return jnp.where(jnp.isinf(neg_hamming), -jnp.inf, negd)

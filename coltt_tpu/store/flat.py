@@ -49,6 +49,13 @@ import msgpack
 import numpy as np
 from jax import lax
 
+from coltt_tpu.ops.bq import (
+    bq_decode,
+    bq_encode,
+    bq_scan_neg_topk,
+    bq_words,
+    hamming_to_neg_cos_dist,
+)
 from coltt_tpu.ops.distance import Metric
 from coltt_tpu.ops.pq import (
     PQCodebook,
@@ -100,6 +107,21 @@ def _apply_updates(codes, scale, sqnorm, valid, slots, u_codes, u_scale, u_sqnor
 def _apply_pq_codes(pqcodes, slots, u_codes):
     """Scatter staged PQ codes into the authoritative code array."""
     return pqcodes.at[slots].set(u_codes)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _apply_rr(rr_codes, rr_scale, slots, u_codes, u_scale):
+    """Scatter staged rerank-copy rows (BQ mode's f8 shortlist rescorer)."""
+    return rr_codes.at[slots].set(u_codes), rr_scale.at[slots].set(u_scale)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _gather_search_bq(codes, valid, cand, cand_valid, queries_packed, *, k):
+    """BQ variant of the gather regime: gather packed rows, Hamming-scan."""
+    g_codes = jnp.take(codes, cand, axis=0)
+    g_valid = jnp.take(valid, cand, axis=0) & cand_valid
+    negh, local = bq_scan_neg_topk(queries_packed, g_codes, g_valid, k=k)
+    return negh, jnp.take(cand, local)
 
 
 # rows per cache-build block: the reconstruct gather materializes an
@@ -184,12 +206,35 @@ class FlatStore:
         pq_train_iters: int = 15,
         pq_cache: bool = True,
         pq_opq_iters: int = 0,  # >0: OPQ rotation (ops/pq.py PQCodebook doc)
+        bq_rerank: bool = True,
+        bq_oversample: int = 64,
+        bq_rerank_dtype=Quantization.BF16,
     ):
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.quantization = Quantization.parse(quantization)
         self.is_pq = self.quantization == Quantization.PQ
+        self.is_bq = self.quantization == Quantization.BQ
         self.pq_cache = bool(pq_cache) and self.is_pq
+        # BQ (the reserved Quantization_BQ both protos declare; ops/bq.py):
+        # codes are packed sign bits [cap, ceil(D/32)] uint32 — 32x smaller
+        # than f32. With bq_rerank (default) an f8 copy reranks the Hamming
+        # shortlist of k*bq_oversample rows back to ~f8 ranking quality;
+        # without it, search ranks on the Hamming angle estimate alone
+        # (96 bytes/row at 768d — the memory-minimal mode).
+        self.bq_rerank = bool(bq_rerank) and self.is_bq
+        self.bq_oversample = int(bq_oversample)
+        # rerank-copy precision: bf16 default (measured 0.98 recall@10 on a
+        # tight-margin clustered corpus where f8 reranking plateaus at 0.81
+        # — within-cluster cosine gaps sit below f8's ~2 significant
+        # digits); f8 halves the copy for a recall trade.
+        self.bq_rr_quant = Quantization.parse(bq_rerank_dtype)
+        if self.is_bq and self.bq_rr_quant not in (
+            Quantization.BF16, Quantization.F16, Quantization.F8
+        ):
+            raise ValueError("bq_rerank_dtype must be bf16/f16/f8")
+        if self.is_bq and self.metric != Metric.COSINE:
+            raise ValueError("BQ quantization is cosine-only (sign bits carry no magnitude)")
         if self.is_pq:
             # PQ path (the reference's reserved Quantization_PQ; ops.pq):
             # authoritative codes are [cap, M] uint8 nearest-centroid ids,
@@ -214,6 +259,9 @@ class FlatStore:
             self.pq_opq_iters = int(pq_opq_iters)
             self.codebook: Optional[PQCodebook] = None
             self._row_width = self.pq_m
+        elif self.is_bq:
+            self._qdtype = jnp.uint32
+            self._row_width = bq_words(self.dim)
         else:
             self._qdtype = storage_dtype(self.quantization)
             self._row_width = self.dim
@@ -258,6 +306,13 @@ class FlatStore:
             if self.pq_cache
             else None
         )
+        if self.bq_rerank:
+            self.rr_codes = self._put(
+                jnp.zeros((cap, self.dim), storage_dtype(self.bq_rr_quant))
+            )
+            self.rr_scale = self._put(jnp.ones((cap, 1), jnp.float32))
+        else:
+            self.rr_codes = self.rr_scale = None
         self.scale = self._put(jnp.ones((cap, 1), jnp.float32))
         self.sqnorm = self._put(jnp.zeros((cap,), jnp.float32))
         self.valid = self._put(jnp.zeros((cap,), jnp.bool_))
@@ -278,6 +333,16 @@ class FlatStore:
                 jnp.concatenate(
                     [self.pqcodes, jnp.zeros((pad, self.pq_m), jnp.uint8)]
                 )
+            )
+        if self.bq_rerank:
+            self.rr_codes = self._put(
+                jnp.concatenate(
+                    [self.rr_codes,
+                     jnp.zeros((pad, self.dim), storage_dtype(self.bq_rr_quant))]
+                )
+            )
+            self.rr_scale = self._put(
+                jnp.concatenate([self.rr_scale, jnp.ones((pad, 1), jnp.float32)])
             )
         self.scale = self._put(
             jnp.concatenate([self.scale, jnp.ones((pad, 1), jnp.float32)])
@@ -383,6 +448,18 @@ class FlatStore:
             self.codes = self._put(codes)
             self.scale = self._put(scale)
             self.sqnorm = self._put(sqnorm)
+        elif self.is_bq:
+            self.codes = self._put(jnp.pad(bq_encode(vectors), pad))
+            if self.bq_rerank:
+                rr, rr_s = quantize(vectors, self.bq_rr_quant)
+                self.rr_codes = self._put(jnp.pad(rr, pad))
+                self.rr_scale = self._put(
+                    jnp.pad(rr_s, pad, constant_values=1.0)
+                )
+            # scale/sqnorm are unused by the Hamming scan; keep shapes in
+            # step with the new capacity for the shared scatter path
+            self.scale = self._put(jnp.ones((cap, 1), jnp.float32))
+            self.sqnorm = self._put(jnp.zeros((cap,), jnp.float32))
         else:
             codes, scale = quantize(vectors, self.quantization)
             codes = codes.astype(self._qdtype)
@@ -465,6 +542,16 @@ class FlatStore:
                 u_codes = u_pq
                 u_sqnorm = u_lut_sqnorm
                 u_scale = jnp.ones((len(slots), 1), jnp.float32)
+        elif self.is_bq:
+            j_rows = jnp.asarray(rows)
+            u_codes = bq_encode(j_rows)
+            u_scale = jnp.ones((len(slots), 1), jnp.float32)
+            u_sqnorm = jnp.zeros((len(slots),), jnp.float32)
+            if self.bq_rerank:
+                rr, rr_s = quantize(j_rows, self.bq_rr_quant)
+                self.rr_codes, self.rr_scale = _apply_rr(
+                    self.rr_codes, self.rr_scale, jnp.asarray(slots), rr, rr_s
+                )
         else:
             u_codes, u_scale = quantize(jnp.asarray(rows), self.quantization)
             u_codes = u_codes.astype(self._qdtype)
@@ -486,6 +573,10 @@ class FlatStore:
         )
         if self.pq_cache:
             per_row += self.dim  # f8 scan cache
+        if self.bq_rerank:
+            per_row += (
+                self.dim * jnp.dtype(storage_dtype(self.bq_rr_quant)).itemsize + 4
+            )  # rerank copy + scale
         return self.capacity * per_row
 
     def get_vector(self, pk: str) -> Optional[np.ndarray]:
@@ -503,6 +594,13 @@ class FlatStore:
             return np.asarray(
                 jax.device_get(pq_reconstruct(pq_codes[slot : slot + 1],
                                               self.codebook, derotate=True))
+            )[0]
+        if self.is_bq:
+            if self.bq_rerank:
+                row = jax.device_get(self.rr_codes[slot]).astype(np.float32)
+                return row * float(jax.device_get(self.rr_scale[slot])[0])
+            return np.asarray(
+                jax.device_get(bq_decode(self.codes[slot : slot + 1], self.dim))
             )[0]
         row = jax.device_get(self.codes[slot]).astype(np.float32)
         return row * float(jax.device_get(self.scale[slot])[0])
@@ -560,6 +658,11 @@ class FlatStore:
             valid = self.valid & jnp.asarray(mask)
         else:
             valid = self.valid
+
+        if self.is_bq:
+            if metric != Metric.COSINE:
+                raise ValueError("BQ collections are cosine-only")
+            return self._search_bq(queries, valid, k, oversample)
 
         if self.is_pq and not self.pq_cache:
             if self.codebook is None:  # nothing ever synced
@@ -626,6 +729,39 @@ class FlatStore:
         s_host, i_host = fetch_scores_ids(scores, slots)
         return self._trim(s_host, i_host, k)
 
+    def _search_bq(self, queries, valid, k: int, oversample: int):
+        """BQ search: Hamming shortlist over the packed bits, then (by
+        default) an f8 rerank of the gathered shortlist. ``oversample=1``
+        (the generic default) uses the store's ``bq_oversample``."""
+        qj = jnp.asarray(queries, jnp.float32)
+        qp = bq_encode(qj)
+        ovs = oversample if oversample > 1 else (
+            self.bq_oversample if self.bq_rerank else 1
+        )
+        shortlist = min(k * max(ovs, 1), self.capacity)
+        negh, slots = bq_scan_neg_topk(qp, self.codes, valid, k=shortlist)
+        return self._finish_bq(qj, negh, slots, k)
+
+    def _finish_bq(self, qj, negh, slots, k: int):
+        from coltt_tpu.ops.score import normalize_score
+        from coltt_tpu.ops.topk import rerank_neg_topk
+
+        if self.bq_rerank:
+            negd, slots = rerank_neg_topk(
+                qj, negh, slots, self.rr_codes, self.rr_scale,
+                k=min(k, negh.shape[1]), metric=Metric.COSINE,
+                compute_dtype=self.compute_dtype,
+            )
+        else:
+            kk = min(k, negh.shape[1])
+            negd, slots = negh[:, :kk], slots[:, :kk]
+            negd = hamming_to_neg_cos_dist(negd, self.dim)
+        scores = jnp.where(
+            jnp.isinf(negd), -jnp.inf, normalize_score(-negd, Metric.COSINE)
+        )
+        s_host, i_host = fetch_scores_ids(scores, slots)
+        return self._trim(s_host, i_host, k)
+
     def _search_gathered(self, queries, candidates, k, metric):
         n = candidates.size
         padded = _pad_pow2(max(n, k))
@@ -633,6 +769,18 @@ class FlatStore:
         cand[:n] = candidates
         cand_valid = np.zeros(padded, bool)
         cand_valid[:n] = True
+        if self.is_bq:
+            if metric != Metric.COSINE:
+                raise ValueError("BQ collections are cosine-only")
+            qj = jnp.asarray(queries, jnp.float32)
+            qp = bq_encode(qj)
+            ovs = self.bq_oversample if self.bq_rerank else 1
+            shortlist = min(k * max(ovs, 1), padded)
+            negh, slots = _gather_search_bq(
+                self.codes, self.valid, jnp.asarray(cand),
+                jnp.asarray(cand_valid), qp, k=shortlist,
+            )
+            return self._finish_bq(qj, negh, slots, k)
         if self.is_pq and not self.pq_cache:
             if self.codebook is None:
                 q = np.atleast_2d(queries).shape[0]
@@ -687,6 +835,12 @@ class FlatStore:
             "free": self._free,
             "pks": [[pk, slot] for pk, slot in self.pk_to_slot.items()],
         }
+        if self.is_bq:
+            header["bq"] = {
+                "rerank": self.bq_rerank,
+                "oversample": self.bq_oversample,
+                "rerank_dtype": int(self.bq_rr_quant),
+            }
         if self.is_pq:
             cb = io.BytesIO()
             if self.codebook is not None:
@@ -705,6 +859,11 @@ class FlatStore:
         f.write(hb)
         for arr in (codes, scale, sqnorm, valid):
             f.write(arr.tobytes())
+        if self.bq_rerank:
+            # the sign bits are lossy; the rerank copy is authoritative
+            # extra state, not rebuildable — snapshot it alongside
+            f.write(np.asarray(jax.device_get(self.rr_codes)).tobytes())
+            f.write(np.asarray(jax.device_get(self.rr_scale)).tobytes())
 
     @classmethod
     def load(
@@ -720,6 +879,7 @@ class FlatStore:
         hlen = int.from_bytes(f.read(8), "big")
         header = msgpack.unpackb(f.read(hlen), raw=False)
         pq = header.get("pq")
+        bq = header.get("bq")
         if pq_cache is None:
             pq_cache = pq.get("cache", True) if pq else True
         store = cls(
@@ -733,6 +893,11 @@ class FlatStore:
             pq_train_iters=pq["train_iters"] if pq else 15,
             pq_opq_iters=pq.get("opq_iters", 0) if pq else 0,
             pq_cache=pq_cache,
+            bq_rerank=bq.get("rerank", True) if bq else True,
+            bq_oversample=bq.get("oversample", 64) if bq else 64,
+            bq_rerank_dtype=Quantization.parse(
+                bq.get("rerank_dtype", int(Quantization.BF16))
+            ) if bq else Quantization.BF16,
         )
         if pq and pq["codebook"]:
             store.codebook = PQCodebook.load(io.BytesIO(pq["codebook"]))
@@ -761,6 +926,13 @@ class FlatStore:
             store.codes = store._put(jnp.asarray(codes))
             store.scale = store._put(jnp.asarray(scale))
             store.sqnorm = store._put(jnp.asarray(sqnorm))
+        if store.bq_rerank:
+            f8 = np.dtype(storage_dtype(store.bq_rr_quant))
+            d = store.dim
+            rr = np.frombuffer(f.read(cap * d * f8.itemsize), f8).reshape(cap, d)
+            rr_s = np.frombuffer(f.read(cap * 4), np.float32).reshape(cap, 1)
+            store.rr_codes = store._put(jnp.asarray(rr))
+            store.rr_scale = store._put(jnp.asarray(rr_s))
         store._next_slot = header["next_slot"]
         store._free = list(header["free"])
         store.pk_to_slot = {pk: slot for pk, slot in header["pks"]}
