@@ -65,10 +65,16 @@ def _block_count(n: int, q: int, w: int) -> int:
         return 1
     need = -(-(q * n * w * 4) // _BQ_TRANSIENT_BYTES)
     units = n // _ALIGN
+    if need >= units:
+        # even the finest _ALIGN-row blocks exceed the budget: take them
+        # anyway (NOT an unblocked scan — that reintroduces the full [Q,N,W]
+        # transient this budget exists to bound) and let bq_scan_neg_topk
+        # split the query axis for the remaining overage.
+        return units
     blocks = need
-    while blocks <= units and units % blocks != 0:
+    while units % blocks:
         blocks += 1
-    return blocks if blocks <= units else 1
+    return blocks
 
 
 def _hamming_block(qp, cp, valid):
@@ -100,20 +106,31 @@ def bq_scan_neg_topk(queries_packed, codes_packed, valid, *, k: int):
     block = n // blocks
     kb = min(kk, block)
 
-    def body(i):
-        sl = lambda a: lax.dynamic_slice_in_dim(a, i * block, block, axis=0)
-        neg = _hamming_block(
-            queries_packed, sl(codes_packed),
-            None if valid is None else sl(valid),
-        )
-        vals, idx = lax.top_k(neg, kb)
-        return vals, (idx + i * block).astype(jnp.int32)
+    def scan_rows(qp):
+        def body(i):
+            sl = lambda a: lax.dynamic_slice_in_dim(a, i * block, block, axis=0)
+            neg = _hamming_block(
+                qp, sl(codes_packed),
+                None if valid is None else sl(valid),
+            )
+            vals, idx = lax.top_k(neg, kb)
+            return vals, (idx + i * block).astype(jnp.int32)
 
-    vals, ids = lax.map(body, jnp.arange(blocks))
-    vals = jnp.moveaxis(vals, 0, 1).reshape(q, blocks * kb)
-    ids = jnp.moveaxis(ids, 0, 1).reshape(q, blocks * kb)
-    negh, midx = lax.top_k(vals, kk)
-    return negh, jnp.take_along_axis(ids, midx, axis=1).astype(jnp.int32)
+        qn = qp.shape[0]
+        vals, ids = lax.map(body, jnp.arange(blocks))
+        vals = jnp.moveaxis(vals, 0, 1).reshape(qn, blocks * kb)
+        ids = jnp.moveaxis(ids, 0, 1).reshape(qn, blocks * kb)
+        negh, midx = lax.top_k(vals, kk)
+        return negh, jnp.take_along_axis(ids, midx, axis=1).astype(jnp.int32)
+
+    # when even the finest row blocks exceed the budget (big Q x big W),
+    # split the query axis so the [qc, block, W] transient stays bounded
+    qc = max(1, _BQ_TRANSIENT_BYTES // (block * w * 4))
+    if qc >= q:
+        return scan_rows(queries_packed)
+    parts = [scan_rows(queries_packed[s:s + qc]) for s in range(0, q, qc)]
+    return (jnp.concatenate([p[0] for p in parts], axis=0),
+            jnp.concatenate([p[1] for p in parts], axis=0))
 
 
 def bq_decode(packed, dim: int) -> jnp.ndarray:

@@ -44,7 +44,9 @@ class Quantization(enum.IntEnum):
     F8 = 2
     BF16 = 3
     PQ = 4
-    BQ = 5  # reserved in the reference proto; not implemented there either
+    BQ = 5  # reserved-but-unimplemented in the reference proto; HERE it is
+            # a full mode: 1-bit sign codes + Hamming shortlist + rerank
+            # (ops/bq.py, FlatStore Quantization.BQ)
     I8 = 6  # beyond the reference: symmetric per-row int8 — rides the TPU's
             # int8 MXU rate (~1.6x the bf16 scan on v5e), recall ~= f8
 

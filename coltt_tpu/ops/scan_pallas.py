@@ -297,14 +297,25 @@ def fused_scan_neg_topk(
     if final == "auto":
         final = "approx" if keys.shape[1] > 8192 else "exact"
     if final == "approx" and kk < keys.shape[1]:
-        # ApproxTopK wants floats: value-convert the keys (monotone; the
-        # rounding loses only the low ~8 bits — resolved below by gathering
-        # the exact int keys at the selected positions and re-sorting)
-        _, pos = lax.approx_max_k(keys.astype(jnp.float32), kk,
-                                  recall_target=0.95)
+        # ApproxTopK wants floats. r02 value-converted the keys
+        # (int32 -> f32 rounding drops the low ~8 bits, creating ties
+        # ApproxTopK breaks arbitrarily — measured -0.005 recall@10 and,
+        # with the repair gather+re-sort it forced, -10.8% QPS at 1M x 768
+        # — see BENCH_r01 vs BENCH_r02). Instead, unfold the sign-fold
+        # involution and BITCAST: float total order == int32 key order
+        # with all 32 bits preserved, so the selection is as exact as
+        # lax.top_k on the int keys. The f32 view is only ever an operand
+        # of comparisons inside ApproxTopK; ids/scores are reconstructed
+        # from the gathered *integer* keys, so TPU denormal flushing (the
+        # FTZ hazard this module's int32 keys exist to dodge) can at worst
+        # reorder candidates whose |score| < 1.2e-38 among themselves —
+        # it cannot fabricate ids. No re-sort needed: positions arrive in
+        # exact key order (modulo that same denormal tie set).
+        fview = lax.bitcast_convert_type(
+            keys ^ ((keys >> 31) & jnp.int32(0x7FFFFFFF)), jnp.float32
+        )
+        _, pos = lax.approx_max_k(fview, kk, recall_target=0.95)
         sel = jnp.take_along_axis(keys, pos, axis=1)
-        sel, order = lax.top_k(sel, kk)
-        pos = jnp.take_along_axis(pos, order, axis=1)
     else:
         sel, pos = lax.top_k(keys, kk)  # [qp, kk] over N/bin candidates
     # unpack: low key bits carry the slice index; the column carries

@@ -26,6 +26,11 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from coltt_tpu.ops.bq import (
+    bq_encode,
+    bq_scan_neg_topk,
+    hamming_to_neg_cos_dist,
+)
 from coltt_tpu.ops.distance import Metric, scan_distances
 from coltt_tpu.ops.pq import PQCodebook, pq_encode, pq_scan_neg_topk, train_pq
 from coltt_tpu.ops.quant import Quantization, dequantize, quantize, storage_dtype
@@ -265,6 +270,100 @@ def sharded_unit_i8_topk(
     score = jnp.where(jnp.isinf(negd), -jnp.inf,
                       normalize_score(-negd, Metric.COSINE))
     return score, ids
+
+
+def _local_bq_shortlist(codes, valid, rr_codes, qpacked, queries, *,
+                        k, oversample, dim):
+    """Per-shard BQ search: Hamming shortlist over the packed sign bits,
+    then (when ``rr_codes`` is present) a local rerank against the
+    high-precision copy so the merge key is the true negated cosine
+    distance; without a rerank copy the merge key is the random-hyperplane
+    angle estimate (comparable across shards — same dim everywhere)."""
+    shortlist = min(max(k * oversample, k), codes.shape[0])
+    negh, ids = bq_scan_neg_topk(qpacked, codes, valid, k=shortlist)
+    if rr_codes is not None:
+        negd, ids = rerank_neg_topk(
+            queries, negh, ids, rr_codes, None,
+            k=min(k, negh.shape[1]), metric=Metric.COSINE,
+            compute_dtype=jnp.bfloat16,
+        )
+    else:
+        kk = min(k, negh.shape[1])
+        negd, ids = hamming_to_neg_cos_dist(negh[:, :kk], dim), ids[:, :kk]
+    return negd, ids
+
+
+def _local_bq_merge(codes, valid, rr_codes, qpacked, queries, *,
+                    k, oversample, dim):
+    negd, ids = _local_bq_shortlist(
+        codes, valid, rr_codes, qpacked, queries,
+        k=k, oversample=oversample, dim=dim,
+    )
+    return _merge_partials(negd, ids, codes.shape[0], k)
+
+
+@partial(jax.jit, static_argnames=("mesh", "k", "oversample", "dim"))
+def sharded_bq_topk(
+    mesh: Mesh,
+    codes,       # [N, W] uint32 packed sign bits, sharded P(shard)
+    valid,       # [N] bool, sharded P(shard)
+    rr_codes,    # [N, D] rerank copy sharded P(shard), or None
+    queries,     # [Q, D] f32, sharded P(batch)
+    *,
+    k: int,
+    oversample: int = 8,
+    dim: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Global cosine top-k over row-sharded binary (BQ) codes.
+
+    The packed corpus is 32x smaller than f32 — a 10M x 768d corpus is
+    just 960 MB of uint32 words, so the XOR+popcount scan is VPU-bound,
+    not HBM-bound. Queries are sign-packed once up front (replicated work
+    is [Q, W] — bytes); each shard shortlists k*oversample by Hamming,
+    reranks locally against ``rr_codes`` (gathers stay shard-local), and
+    one [Q, k] collective merges. Returns (scores [Q, k] 0-100, ids).
+
+    Reference anchor: the reserved ``Quantization_BQ`` enum
+    (/root/reference/idl/proto/v3/core.proto) + the popcount machinery it
+    never wired up (/root/reference/pkg/bitset/popcnt_amd64.s).
+    """
+    queries = jnp.asarray(queries, jnp.float32)
+    qpacked = bq_encode(queries)
+    if mesh.size == 1:
+        negd, ids = _local_bq_shortlist(
+            codes, valid, rr_codes, qpacked, queries,
+            k=k, oversample=oversample, dim=dim,
+        )
+    else:
+        if rr_codes is None:
+            # rr_codes=None can't ride an in_spec; use the no-rr body
+            fn = jax.shard_map(
+                partial(_bq_merge_no_rr, k=k, oversample=oversample, dim=dim),
+                mesh=mesh,
+                in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(BATCH_AXIS),
+                          P(BATCH_AXIS)),
+                out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+                check_vma=False,
+            )
+            negd, ids = fn(codes, valid, qpacked, queries)
+        else:
+            fn = jax.shard_map(
+                partial(_local_bq_merge, k=k, oversample=oversample, dim=dim),
+                mesh=mesh,
+                in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                          P(BATCH_AXIS), P(BATCH_AXIS)),
+                out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+                check_vma=False,
+            )
+            negd, ids = fn(codes, valid, rr_codes, qpacked, queries)
+    score = jnp.where(jnp.isinf(negd), -jnp.inf,
+                      normalize_score(-negd, Metric.COSINE))
+    return score, ids
+
+
+def _bq_merge_no_rr(codes, valid, qpacked, queries, *, k, oversample, dim):
+    return _local_bq_merge(codes, valid, None, qpacked, queries,
+                           k=k, oversample=oversample, dim=dim)
 
 
 def _merge_partials(negd, ids, local_n, k):
@@ -532,7 +631,15 @@ class DistributedFlatIndex:
         valid = jnp.arange(np_total) < n
 
         spec = NamedSharding(mesh, P(SHARD_AXIS))
-        if self.unit_i8:
+        if self.quantization == Quantization.BQ:
+            if self.metric != Metric.COSINE:
+                raise ValueError("BQ is cosine-only")
+            # 1-bit sign codes: [N, ceil(D/32)] uint32, 32x under f32.
+            # Padding rows are all-zero words masked by `valid`.
+            self.codes = jax.device_put(bq_encode(vectors), spec)
+            self.scale = None
+            self.sqnorm = None
+        elif self.unit_i8:
             # unit-norm rows, ONE global scale: ranking is the raw int dot
             norms = jnp.linalg.norm(vectors, axis=1, keepdims=True)
             un = vectors / jnp.maximum(norms, 1e-30)
@@ -578,7 +685,12 @@ class DistributedFlatIndex:
             )
         qspec = NamedSharding(self.mesh, P(BATCH_AXIS))
         jq = jax.device_put(jnp.asarray(queries), qspec)
-        if self.unit_i8:
+        if self.quantization == Quantization.BQ:
+            scores, ids = sharded_bq_topk(
+                self.mesh, self.codes, self.valid, self.rr_codes, jq,
+                k=k, oversample=oversample, dim=self.dim,
+            )
+        elif self.unit_i8:
             scores, ids = sharded_unit_i8_topk(
                 self.mesh, self.codes, self.gscale, self.bin_live,
                 self.valid, self.rr_codes, jq, k=k, oversample=oversample,

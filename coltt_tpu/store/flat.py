@@ -624,10 +624,13 @@ class FlatStore:
         selects the Pallas fused scan kernel (ops/scan_pallas.py — the
         int8 MXU path when the store is I8-quantized; falls back to the
         XLA path where the kernel's shape rules don't hold).
-        ``oversample > 1`` (PQ-cache mode only) shortlists k*oversample
-        rows from the f8 cache and re-scores them against the exact PQ
-        reconstruction (ops/pq.py pq_rerank_neg_topk), recovering the f8
-        storage noise for a tiny per-query gather."""
+        ``oversample > 1`` widens a shortlist-then-rerank mode: on a
+        PQ-cache store it shortlists k*oversample rows from the f8 cache
+        and re-scores them against the exact PQ reconstruction
+        (ops/pq.py pq_rerank_neg_topk); on a BQ store it overrides the
+        store's ``bq_oversample`` for the Hamming shortlist (full-scan
+        and filtered paths alike). Other modes ignore it, and BQ ignores
+        ``fused``/``approx_recall`` (the Hamming scan is its own kernel)."""
         self.sync()
         metric = self.metric if metric is None else Metric.parse(metric)
         queries = np.atleast_2d(np.asarray(queries, np.float32))
@@ -652,7 +655,9 @@ class FlatStore:
                     np.full((q, k), -1, np.int32),
                 )
             if candidates.size < max(k, self.capacity // _GATHER_FRACTION):
-                return self._search_gathered(queries, candidates, k, metric)
+                return self._search_gathered(
+                    queries, candidates, k, metric, oversample=oversample
+                )
             mask = np.zeros(self.capacity, bool)
             mask[candidates] = True
             valid = self.valid & jnp.asarray(mask)
@@ -762,7 +767,8 @@ class FlatStore:
         s_host, i_host = fetch_scores_ids(scores, slots)
         return self._trim(s_host, i_host, k)
 
-    def _search_gathered(self, queries, candidates, k, metric):
+    def _search_gathered(self, queries, candidates, k, metric, *,
+                         oversample: int = 1):
         n = candidates.size
         padded = _pad_pow2(max(n, k))
         cand = np.zeros(padded, np.int32)
@@ -774,7 +780,9 @@ class FlatStore:
                 raise ValueError("BQ collections are cosine-only")
             qj = jnp.asarray(queries, jnp.float32)
             qp = bq_encode(qj)
-            ovs = self.bq_oversample if self.bq_rerank else 1
+            ovs = oversample if oversample > 1 else (
+                self.bq_oversample if self.bq_rerank else 1
+            )
             shortlist = min(k * max(ovs, 1), padded)
             negh, slots = _gather_search_bq(
                 self.codes, self.valid, jnp.asarray(cand),

@@ -82,18 +82,53 @@ def test_hamming_scan_matches_numpy():
 
 
 def test_blocked_scan_equals_unblocked(monkeypatch):
+    """The blocked path must engage for real (ADVICE r2: the original
+    version of this test monkeypatched after the first trace, so the jit
+    cache served the unblocked executable and _block_count was never
+    re-read — the blocked code shipped with zero coverage). Shapes are
+    chosen so blocking genuinely activates: n=32768, w=4, q=3 at a 768 KB
+    budget gives need=2 <= units=4 -> 2 row blocks."""
     import coltt_tpu.ops.bq as bqmod
 
     rng = np.random.default_rng(3)
-    codes = bq_encode(rng.standard_normal((16384, 128)).astype(np.float32))
+    codes = bq_encode(rng.standard_normal((32768, 128)).astype(np.float32))
     q = bq_encode(rng.standard_normal((3, 128)).astype(np.float32))
     ref_h, ref_i = map(np.asarray, bq_scan_neg_topk(q, codes, None, k=10))
-    monkeypatch.setattr(bqmod, "_BQ_TRANSIENT_BYTES", 64 << 10)
+    monkeypatch.setattr(bqmod, "_BQ_TRANSIENT_BYTES", 786432)
+    assert bqmod._block_count(32768, 3, 4) == 2  # blocking engages
+    # _block_count is read at trace time; drop the cached unblocked trace
+    bq_scan_neg_topk.clear_cache()
     got_h, got_i = map(np.asarray, bq_scan_neg_topk(q, codes, None, k=10))
     np.testing.assert_array_equal(ref_h, got_h)
     # ids may tie-swap at equal Hamming; compare as sets per row
     for r in range(3):
         assert set(got_i[r]) == set(ref_i[r])
+    bq_scan_neg_topk.clear_cache()  # don't leak the tiny-budget trace
+
+
+def test_blocked_scan_query_split(monkeypatch):
+    """When even the finest 8192-row blocks exceed the budget (big Q x W),
+    bq_scan_neg_topk must split the query axis rather than fall back to an
+    unblocked scan (ADVICE r2: the fallback reintroduced the full [Q,N,W]
+    transient the budget exists to bound). n=16384, q=64, w=4 at a 64 KB
+    budget: need=256 > units=2 -> 2 row blocks + 64 query parts of 1."""
+    import coltt_tpu.ops.bq as bqmod
+
+    rng = np.random.default_rng(13)
+    codes = bq_encode(rng.standard_normal((16384, 128)).astype(np.float32))
+    q = bq_encode(rng.standard_normal((64, 128)).astype(np.float32))
+    valid = np.ones(16384, bool)
+    valid[42] = False
+    jvalid = jnp.asarray(valid)
+    ref_h, ref_i = map(np.asarray, bq_scan_neg_topk(q, codes, jvalid, k=10))
+    monkeypatch.setattr(bqmod, "_BQ_TRANSIENT_BYTES", 64 << 10)
+    assert bqmod._block_count(16384, 64, 4) == 2  # clamped to units
+    bq_scan_neg_topk.clear_cache()
+    got_h, got_i = map(np.asarray, bq_scan_neg_topk(q, codes, jvalid, k=10))
+    np.testing.assert_array_equal(ref_h, got_h)
+    for r in range(64):
+        assert set(got_i[r]) == set(ref_i[r])
+    bq_scan_neg_topk.clear_cache()
 
 
 def test_bq_recall_with_rerank():

@@ -353,3 +353,59 @@ def test_unit_i8_never_returns_padding_rows(rng):
     # sanity: a correlated query still finds real rows
     s2, i2 = idx.search(base[3:4], k)
     assert i2[0, 0] == 3 and np.isfinite(s2[0, 0])
+
+
+def test_bq_sharded_no_rerank_equals_global_hamming(rng):
+    """BQ sharded scan, no rerank copy: each shard's exact Hamming top-k
+    merged collectively must equal the global Hamming top-k (distances are
+    small ints, so ties abound — compare the distance multiset, not ids)."""
+    from coltt_tpu.ops.bq import bq_encode, hamming_to_neg_cos_dist
+    from coltt_tpu.ops.score import normalize_score
+    import jax.numpy as jnp
+
+    n, d, k = 8192, 128, 10
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((6, d)).astype(np.float32)
+
+    idx = DistributedFlatIndex(make_mesh(), vecs,
+                               quantization=Quantization.BQ)
+    assert idx.codes.dtype == np.uint32 and idx.codes.shape[1] == d // 32
+    scores, ids = idx.search(qs, k=k)
+
+    # numpy global Hamming ground truth -> same 0-100 angle-estimate scale
+    qb, cb = qs > 0, vecs > 0
+    h = (qb[:, None, :] != cb[None, :, :]).sum(-1)  # [Q, N]
+    want_h = np.sort(h, axis=1)[:, :k]
+    negd = hamming_to_neg_cos_dist(jnp.asarray(-want_h, jnp.float32), d)
+    want_scores = np.asarray(normalize_score(-negd, Metric.COSINE))
+    np.testing.assert_allclose(scores, want_scores, rtol=1e-5, atol=1e-4)
+    got_h = h[np.arange(len(qs))[:, None], ids]
+    np.testing.assert_array_equal(np.sort(got_h, axis=1), want_h)
+
+
+def test_bq_sharded_rerank_recall(rng):
+    """BQ + per-shard rerank on the 8-device mesh: serving-grade recall on
+    a clustered corpus, descending scores, no padding rows (n chosen so
+    every shard carries mostly padding)."""
+    from coltt_tpu.ops.topk import compute_recall
+
+    n, d, k = 20000, 256, 10  # pads to 32768 -> 4096/shard, 2464 pad rows
+    nc = 64
+    centers = rng.standard_normal((nc, d)).astype(np.float32)
+    vecs = (centers[rng.integers(0, nc, n)]
+            + 0.25 * rng.standard_normal((n, d))).astype(np.float32)
+    qs = vecs[rng.integers(0, n, 16)] + 0.05 * rng.standard_normal(
+        (16, d)).astype(np.float32)
+
+    sim = (qs @ vecs.T) / np.linalg.norm(vecs, axis=1)
+    truth = np.argsort(-sim, axis=1)[:, :k]
+
+    idx = DistributedFlatIndex(make_mesh(), vecs,
+                               quantization=Quantization.BQ,
+                               rerank_dtype=jnp.bfloat16)
+    scores, ids = idx.search(qs, k=k, oversample=16)
+    rec = compute_recall(ids, truth)
+    assert rec >= 0.9, rec
+    finite = np.isfinite(scores)
+    assert ((ids >= 0) & (ids < n))[finite].all()
+    assert (scores[:, :-1] >= scores[:, 1:] - 1e-4).all()

@@ -149,6 +149,38 @@ def test_fused_zero_dot_winners_keep_ids(rng):
     np.testing.assert_allclose(np.asarray(s)[0], 50.0, atol=1e-3)
 
 
+def test_fused_approx_bitcast_matches_exact(rng):
+    """The final="approx" leg selects over the int32 monotone keys through
+    a bitcast f32 *view* (unfold the sign-fold, bitcast — float order ==
+    int order, all 32 bits preserved). On CPU ApproxTopK lowers to an
+    exact selection, so approx and exact must return IDENTICAL ids and
+    scores — including negative scores (negative keys exercise the unfold)
+    and tombstoned rows (penalty keys). The r02 regression this replaces
+    value-converted the keys to f32, losing the low ~8 bits (recall -0.005
+    at 1M x 768, BENCH_r01 vs BENCH_r02)."""
+    from coltt_tpu.ops.scan_pallas import fused_scan_neg_topk
+
+    n, d = 8192, 128
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    # make half the corpus anti-correlated so top-k includes negative
+    # cosine similarities for some queries
+    vecs[n // 2:] *= -1.0
+    codes = jnp.asarray(vecs)
+    sqnorm = jnp.sum(codes * codes, axis=1)
+    valid = np.ones(n, bool)
+    valid[::7] = False
+    q = rng.standard_normal((9, d)).astype(np.float32)
+    kwargs = dict(k=32, metric=Metric.COSINE)
+    ne, ie = fused_scan_neg_topk(
+        jnp.asarray(q), codes, None, sqnorm, jnp.asarray(valid),
+        final="exact", **kwargs)
+    na, ia = fused_scan_neg_topk(
+        jnp.asarray(q), codes, None, sqnorm, jnp.asarray(valid),
+        final="approx", **kwargs)
+    np.testing.assert_array_equal(np.asarray(ie), np.asarray(ia))
+    np.testing.assert_array_equal(np.asarray(ne), np.asarray(na))
+
+
 def test_unit_i8_rejects_wide_dims(rng):
     """dim > 2048 overflows the <<5 packing — must refuse, not corrupt."""
     from coltt_tpu.ops.scan_pallas import fused_unit_i8_neg_topk
