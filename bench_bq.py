@@ -1,0 +1,153 @@
+"""BQ (binary quantization) bench: recall/QPS at 1M and 10M x 768d.
+
+Round-1 item 9's done-bar: BQ benched at both scales — 10M x 768d is where
+the 32x memory win becomes decisive (packed corpus 960 MB vs 30 GB f32; an
+f32 corpus at 10M does not fit one chip's HBM at all). The serving path is
+``DistributedFlatIndex(quantization=BQ)``: packed XOR+popcount Hamming
+shortlist (k*oversample) + bf16 rerank of the gathered shortlist +
+collective merge — the same path a BQ collection created through the gRPC
+surface runs (tests/test_api.py::test_core_bq_collection_via_rpc).
+
+At 10M a bf16 rerank copy (15 GB) would crowd HBM, so 10M runs rerank-free
+(ranking = the random-hyperplane angle estimate alone — the honest
+memory-minimal configuration); 1M runs both with and without rerank.
+Corpus slabs are generated on device, BQ-encoded, and freed — the f32 form
+never accumulates. Prints ONE JSON line (headline = the 10M row).
+
+Run manually on the TPU:  timeout 5400 python -u bench_bq.py
+"""
+
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+SLAB = 1_000_000
+
+
+def main():
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from coltt_tpu.ops.bq import bq_encode
+    from coltt_tpu.ops.distance import Metric
+    from coltt_tpu.ops.quant import Quantization
+    from coltt_tpu.parallel.dist_search import DistributedFlatIndex
+    from coltt_tpu.parallel.mesh import BATCH_AXIS, make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    d, k, batch, depth = 768, 10, 2048, 4
+    log(f"devices: {jax.devices()}")
+    mesh = make_mesh(num_shards=len(jax.devices()), batch=1)
+    qspec = NamedSharding(mesh, P(BATCH_AXIS))
+    results = {}
+
+    def slab_key(i):
+        return jax.random.fold_in(jax.random.PRNGKey(7), i)
+
+    def gen_slab(i, rows):
+        return jax.random.normal(slab_key(i), (rows, d), jnp.float32)
+
+    for n, use_rerank in ((1_000_000, True), (1_000_000, False),
+                          (10_000_000, False)):
+        tag = f"{n//1_000_000}M{'+rr' if use_rerank else ''}"
+        nslabs = -(-n // SLAB)
+        t0 = time.perf_counter()
+        if use_rerank:
+            vecs = gen_slab(0, n)  # 1M only: fits comfortably
+            idx = DistributedFlatIndex(
+                mesh, vecs, metric=Metric.COSINE,
+                quantization=Quantization.BQ, rerank_dtype=jnp.bfloat16,
+            )
+            del vecs
+        else:
+            parts = []
+            for i in range(nslabs):
+                rows = min(SLAB, n - i * SLAB)
+                s = gen_slab(i, rows)
+                parts.append(np.asarray(bq_encode(s)))
+                del s
+            idx = DistributedFlatIndex.from_bq_codes(
+                mesh, np.concatenate(parts), dim=d
+            )
+            del parts
+        jax.block_until_ready(idx.codes)
+        log(f"[{tag}] ingest+pack: {time.perf_counter()-t0:.1f}s "
+            f"(packed {idx.codes.nbytes/2**20:.0f} MiB)")
+
+        kq = jax.random.PRNGKey(1)
+        qkeys = jax.random.split(kq, depth + 1)
+        q_batches = [
+            np.asarray(jax.device_get(
+                jax.random.normal(qk, (batch, d), jnp.float32)
+            ))
+            for qk in qkeys
+        ]
+
+        t0 = time.perf_counter()
+        idx.search(q_batches[0], k, oversample=16)
+        log(f"[{tag}] warmup: {time.perf_counter()-t0:.1f}s")
+
+        best_qps = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(depth):
+                idx.search(q_batches[i], k, oversample=16)
+            dt = time.perf_counter() - t0
+            best_qps = max(best_qps, depth * batch / dt)
+
+        # recall vs exact fp32 cosine over the same data, slab-streamed
+        gq = q_batches[depth][:64]
+        jq = jnp.asarray(gq)
+        qn = jnp.linalg.norm(jq, axis=1, keepdims=True)
+        best_d = jnp.full((64, k), -jnp.inf)
+        best_i = jnp.full((64, k), -1, jnp.int32)
+        for i in range(nslabs):
+            rows = min(SLAB, n - i * SLAB)
+            s = gen_slab(i, rows)
+            sn = jnp.linalg.norm(s, axis=1)
+            cos = (jq @ s.T) / (qn * jnp.maximum(sn, 1e-30)[None, :])
+            dd, ii = jax.lax.top_k(cos, k)
+            del s, cos
+            cand_d = jnp.concatenate([best_d, dd], axis=1)
+            cand_i = jnp.concatenate([best_i, ii.astype(jnp.int32) + i * SLAB],
+                                     axis=1)
+            best_d, sel = jax.lax.top_k(cand_d, k)
+            best_i = jnp.take_along_axis(cand_i, sel, axis=1)
+        gt = np.asarray(best_i)
+        _, got = idx.search(gq, k, oversample=16)
+        recall = float(np.mean([
+            len(set(gt[i]) & set(got[i])) / k for i in range(len(gq))
+        ]))
+        log(f"[{tag}] QPS {best_qps:.0f}; recall@10 {recall:.3f}")
+        results[tag] = {"qps": round(best_qps, 1),
+                        "recall_at_10": round(recall, 4)}
+        del idx
+
+    baseline_qps = 40.0  # reference highCpu FLAT 1M x 128d (BASELINE.md)
+    head = results["10M"]
+    print(json.dumps({
+        "metric": "BQ packed-Hamming QPS/chip at recall@10 "
+                  "(10M x 768d, oversample=16, batch=2048)",
+        "value": head["qps"],
+        "unit": "qps",
+        "vs_baseline": round(head["qps"] / baseline_qps, 2),
+        "recall_at_10": head["recall_at_10"],
+        "all": results,
+        "devices": len(jax.devices()),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,7 +2,9 @@
 
 Reference anchor: 0.87 ms/query on 1M x 128d, single query at a time
 (UPDATE-LOG.md:142) => ~1150 QPS. Here the graph is built on device with
-``bulk_build`` and searched with the batched beam kernel (bf16 vectors).
+``bulk_build_clustered`` (k-means blocks + heuristic select, the MXU
+ingest path; ``--beam`` selects the older gather-bound beam builder) and
+searched with the batched beam kernel (bf16 vectors).
 
 Prints ONE JSON line (secondary bench; the driver's headline stays bench.py).
 Run manually on the TPU:  timeout 5400 python -u bench_hnsw.py
@@ -54,13 +56,19 @@ def main():
     vecs = (centers[asg] + 0.35 * rng.standard_normal((n, d))).astype(
         np.float32)
 
+    beam = "--beam" in sys.argv
     idx = HnswIndex(d, metric=Metric.COSINE,
-                    config=HnswConfig(m=16, ef_construction=100, ef=128),
+                    config=HnswConfig(m=16, ef_construction=100, ef=128,
+                                      algorithm="heuristic"),
                     device_dtype=jnp.bfloat16)
     t0 = time.perf_counter()
-    idx.bulk_build(vecs, refine_rounds=1, batch_rows=4096)
+    if beam:
+        idx.bulk_build(vecs, refine_rounds=1, batch_rows=4096)
+    else:
+        idx.bulk_build_clustered(vecs)
     build_s = time.perf_counter() - t0
-    log(f"bulk_build 1M x {d}d: {build_s:.1f}s "
+    builder = "bulk_build(beam)" if beam else "bulk_build_clustered"
+    log(f"{builder} 1M x {d}d: {build_s:.1f}s "
         f"({n/build_s:.0f} inserts/s; reference one-by-one: ~1.7k/s)")
 
     def mk_queries(m):
@@ -108,6 +116,8 @@ def main():
         "recall_at_10": round(float(recall), 4),
         "p50_batch_latency_ms": round(p50_batch_ms, 3),
         "build_seconds": round(build_s, 1),
+        "build_rows_per_s": round(n / build_s, 1),
+        "builder": builder,
         "devices": len(jax.devices()),
     }))
 

@@ -70,14 +70,20 @@ def main():
     n_eval = 64
     n_centers = 16384
     sigma = 0.35
-    # dsub=4: 192 subspaces, 4x compression of the durable codes. dsub=8
-    # (8x) measured recall@10 0.60 vs dsub=4's 0.78 at 262k — the codes
-    # are the snapshot format, the f8 cache dominates HBM either way, so
-    # the bench serves the higher-fidelity point; pass target_dsub=8 for
-    # the max-compression trade.
-    m = default_subspaces(d, target_dsub=4)
+    # Residual (coarse+PQ) by default: a 16384-centroid whole-vector
+    # coarse quantizer absorbs the cluster structure and the dsub=8 PQ
+    # encodes only the residual — 98 B/row durable (2-byte cid + 96
+    # codes) vs plain dsub=4's 192 B/row, at far higher reconstruction
+    # fidelity on clustered data (ops/pq.py module doc; VERDICT r2 item
+    # 5's recall>=0.85 bar at 10M). ``--plain`` reruns the r1/r2
+    # plain-OPQ dsub=4 configuration for comparison.
+    plain = "--plain" in sys.argv
+    if plain:
+        m, coarse_c = default_subspaces(d, target_dsub=4), 0
+    else:
+        m, coarse_c = default_subspaces(d, target_dsub=8), 16384
 
-    log(f"devices: {jax.devices()}  M={m}")
+    log(f"devices: {jax.devices()}  M={m} coarse={coarse_c}")
     key = jax.random.PRNGKey(0)
     kc_, kq, key = jax.random.split(key, 3)
     spec_scale = jnp.asarray(
@@ -109,7 +115,8 @@ def main():
         # ~48 GB per 1M-row chunk); recall is PQ-capped by construction
         pqc, _ = pq_encode(chunk, codebook)
         c8, s8, q8 = _pq_cache_rows(
-            pqc, codebook.centroids, block=_cache_block_for(chunk_n, m)
+            pqc, codebook.centroids, codebook.coarse,
+            block=_cache_block_for(chunk_n, m),
         )
         return (
             lax.dynamic_update_slice_in_dim(pq_codes, pqc, off, axis=0),
@@ -118,7 +125,8 @@ def main():
             lax.dynamic_update_slice_in_dim(f8_sqn, q8, off, axis=0),
         )
 
-    pq_codes = jnp.zeros((n_total, m), jnp.uint8)
+    cw = m + (2 if coarse_c else 0)  # residual: 2-byte cid prefix
+    pq_codes = jnp.zeros((n_total, cw), jnp.uint8)
     f8_codes = jnp.zeros((n_total, d), jnp.float8_e4m3fn)
     f8_scale = jnp.zeros((n_total, 1), jnp.float32)
     f8_sqn = jnp.zeros((n_total,), jnp.float32)
@@ -131,10 +139,16 @@ def main():
         chunk = gen_rows(kchunk, chunk_n)
         if codebook is None:
             t0 = time.perf_counter()
-            codebook = train_pq(chunk[:262144], m=m, iters=10, opq_iters=4,
-                                sample_size=65536)
+            # residual mode trains the coarse k-means on a 262k sample
+            # (16 rows/centroid at C=16384; a 64k sample would leave
+            # centroids starved)
+            codebook = train_pq(
+                chunk[:262144], m=m, iters=10, opq_iters=4,
+                sample_size=65536 if plain else 262144,
+                coarse_centroids=coarse_c,
+            )
             jax.block_until_ready(codebook.centroids)
-            log(f"OPQ+PQ train (64k sample, 10 lloyd x 4 opq): "
+            log(f"OPQ+PQ train (10 lloyd x 4 opq, coarse={coarse_c}): "
                 f"{time.perf_counter()-t0:.1f}s")
         # exact fp32 ground truth, merged incrementally before the chunk dies
         neg, ids = exact_chunk_topk(eval_q, chunk)
@@ -173,12 +187,14 @@ def main():
                                   approx_recall=0.99)
         return pq_rerank_neg_topk(qr, negd, ids, pq_codes,
                                   codebook.centroids, k=k,
-                                  metric=Metric.COSINE)
+                                  metric=Metric.COSINE,
+                                  coarse=codebook.coarse)
 
     def dispatch_adc(q):
         # low-memory path: ADC over the uint8 codes only
         return pq_scan_neg_topk(q, pq_codes, codebook.centroids, pq_sqn, valid,
-                                k=k, metric=Metric.COSINE, rotation=rot)
+                                k=k, metric=Metric.COSINE, rotation=rot,
+                                coarse=codebook.coarse)
 
     kq2, key = jax.random.split(key)
     q_batches = [
@@ -209,8 +225,9 @@ def main():
 
     qps, rec = results["f8cache"]
     print(json.dumps({
-        "metric": f"OPQ(M={m})+f8-cache+reconstruction-rerank QPS/chip at "
-                  "recall@10 (10M x 768d clustered+spectrum, batch=512)",
+        "metric": (f"{'OPQ' if plain else f'coarse{coarse_c}-residual-OPQ'}"
+                   f"(M={m})+f8-cache+reconstruction-rerank QPS/chip at "
+                   "recall@10 (10M x 768d clustered+spectrum, batch=512)"),
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / 71.4, 2),  # reference PQ era: <14ms @ 50k

@@ -83,11 +83,34 @@ def main() -> None:
         os.path.join(cfg.storage.data_dir, ".jax_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # cache observability (VERDICT r2 item 2): count persistent-cache
+    # hits/misses so a cold boot is distinguishable from a cache that
+    # silently fails to serialize. Note what the cache can and cannot fix
+    # on this backend: the jax-side compile result lands in the cache
+    # within the first minute, but most of a cold 1M-scan warmup is
+    # backend/relay first-execution work the cache never covers.
+    cache_stats = {"hits": 0, "misses": 0}
+
+    def _cache_listener(event: str, **_kw) -> None:
+        if event == "/jax/compilation_cache/cache_hits":
+            cache_stats["hits"] += 1
+        elif event == "/jax/compilation_cache/cache_misses":
+            cache_stats["misses"] += 1
+
+    try:
+        from jax._src import monitoring as _jmon
+
+        _jmon.register_event_listener(_cache_listener)
+    except Exception:  # pragma: no cover - internal API drift
+        pass
     import jax.numpy as jnp
 
     log.info("warming up device", extra={"kv": {"devices": str(jax.devices())}})
     jnp.zeros((8, 128)).sum().block_until_ready()
-    log.info("device ready")
+    log.info(
+        "device ready",
+        extra={"kv": {"compile_cache": dict(cache_stats)}},
+    )
 
     from coltt_tpu.api.server import build_servicer, create_server
 

@@ -387,3 +387,69 @@ class ExperimentalClient(_StubBase):
             {"id": c.id, "score": c.score, "metadata": struct_to_dict(c.metadata)}
             for c in resp.candidates
         ]
+
+    def bulk_index(
+        self, name: str, record_ids: Sequence[str],
+        vectors_by_field: Dict[str, Any],  # field -> [N, dim_f]
+        metadatas: Optional[Sequence[Dict[str, Any]]] = None,
+    ):
+        """Bulk upsert: one RPC, raw-f32 block per vector field."""
+        import numpy as np
+
+        req = experimental_pb2.BulkIndexChange(
+            collection_name=name, count=len(record_ids),
+            ids=list(record_ids),
+        )
+        for fname, block in vectors_by_field.items():
+            b = np.ascontiguousarray(np.asarray(block, np.float32))
+            req.fields.append(
+                experimental_pb2.VectorFieldBlock(
+                    index_name=fname,
+                    vectors_f32=b.astype("<f4", copy=False).tobytes(),
+                )
+            )
+        if metadatas is not None:
+            req.metadata.extend(dict_to_struct(m) for m in metadatas)
+        return _raise_on_error(self.call("BulkIndex", req))
+
+    def vector_search_batch(
+        self, name: str,
+        query_fields: Sequence[Tuple[str, Any, bool, float]],
+        top_k: int = 10, *, high_resource: bool = False,
+        include_metadata: bool = False,
+    ):
+        """Batch-native CFLAT search: each entry is (index_name, [Q, D]
+        query block, include_or_not, ratio%). Returns ``(counts, scores,
+        ids, metadatas)`` columnar — query q owns rows [sum(counts[:q]),
+        sum(counts[:q+1])). Blocks ride as raw f32 bytes (fast path)."""
+        import numpy as np
+
+        req = experimental_pb2.SearchMultiIndexBatch(
+            collection_name=name, topK=top_k,
+            high_resource_avaliable=high_resource,
+            include_metadata=include_metadata,
+        )
+        count = None
+        for fname, block, include, ratio in query_fields:
+            q = np.ascontiguousarray(np.asarray(block, np.float32))
+            if q.ndim != 2:
+                raise ValueError(f"field {fname!r}: query block must be [Q, D]")
+            if count is None:
+                count = q.shape[0]
+            elif q.shape[0] != count:
+                raise ValueError("all query blocks must share the same Q")
+            req.vector.append(
+                experimental_pb2.MultiVectorIndexBatch(
+                    index_name=fname,
+                    vectors_f32=q.astype("<f4", copy=False).tobytes(),
+                    include_or_not=include,
+                    ratio=int(ratio),
+                )
+            )
+        req.count = count or 0
+        resp = _raise_on_error(self.call("VectorSearchBatch", req))
+        mds = (
+            [struct_to_dict(m) for m in resp.metadata]
+            if include_metadata else None
+        )
+        return list(resp.counts), list(resp.scores), list(resp.ids), mds

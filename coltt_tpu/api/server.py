@@ -503,6 +503,67 @@ class ExperimentalServicer:
             ],
         )
 
+    def BulkIndex(self, request, context):
+        name = request.collection_name
+        schema = self.engine.get_collection(name)["schema"]
+        n = int(request.count)
+        if n <= 0:
+            raise EngineError("count must be positive")
+        blocks = {}
+        for blk in request.fields:
+            if blk.vectors_f32:
+                v = np.frombuffer(blk.vectors_f32, dtype="<f4")
+            else:
+                v = np.asarray(blk.vectors, np.float32)
+            if v.size % n:
+                raise EngineError(
+                    f"field {blk.index_name!r}: vectors length {v.size} not "
+                    f"divisible by count {n}"
+                )
+            blocks[blk.index_name] = v.reshape(n, v.size // n)
+        if len(request.ids) != n:
+            raise EngineError("ids must parallel rows")
+        mds = [struct_to_dict(m) for m in request.metadata] or None
+        if mds is not None and len(mds) != n:
+            raise EngineError("metadata must parallel rows")
+        self.engine.index_many(name, list(request.ids), blocks, mds)
+        return common_pb2.Response(status=True)
+
+    def VectorSearchBatch(self, request, context):
+        name = request.collection_name
+        schema = self.engine.get_collection(name)["schema"]
+        n = int(request.count)
+        if n <= 0:
+            raise EngineError("count must be positive")
+        query_fields = []
+        for blk in request.vector:
+            if blk.vectors_f32:
+                # fast path: raw LE f32 bytes — zero-copy vs repeated-scalar
+                # parse of Q*dim floats per field
+                q = np.frombuffer(blk.vectors_f32, dtype="<f4")
+            else:
+                q = np.asarray(blk.vectors, np.float32)
+            if q.size != n * schema.dim:
+                raise EngineError(
+                    f"field {blk.index_name!r}: vectors length {q.size} != "
+                    f"count {n} * dim {schema.dim}"
+                )
+            query_fields.append(
+                (blk.index_name, q.reshape(n, schema.dim),
+                 blk.include_or_not, float(blk.ratio))
+            )
+        counts, scores, ids, mds = self.engine.vector_search_batch(
+            name, query_fields,
+            top_k=int(request.topK) or 10,
+            with_metadata=request.include_metadata,
+        )
+        resp = experimental_pb2.SearchBatchResponse(
+            status=True, counts=counts, scores=scores, ids=ids
+        )
+        if mds is not None:
+            resp.metadata.extend(dict_to_struct(m) for m in mds)
+        return resp
+
 
 # ---------------------------------------------------------------------------
 # registration + serve
@@ -557,8 +618,13 @@ _EXP_RPCS: Dict[str, Tuple[type, type]] = {
     "ReleaseCollection": (experimental_pb2.CollectionName, common_pb2.Response),
     "Flush": (experimental_pb2.CollectionName, common_pb2.Response),
     "Index": (experimental_pb2.IndexChange, common_pb2.Response),
+    "BulkIndex": (experimental_pb2.BulkIndexChange, common_pb2.Response),
     "VectorSearch": (
         experimental_pb2.SearchMultiIndex, experimental_pb2.SearchResponse,
+    ),
+    "VectorSearchBatch": (
+        experimental_pb2.SearchMultiIndexBatch,
+        experimental_pb2.SearchBatchResponse,
     ),
 }
 

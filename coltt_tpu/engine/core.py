@@ -295,7 +295,8 @@ class CoreEngine:
         The reference has no bulk path — its published 1M ingest is one
         Insert RPC per vector (583.83 s, benchmark/bench_insert.py:5-41).
         On an empty collection this builds the whole HNSW graph with
-        ``HnswIndex.bulk_build`` (batched candidate beams on the TPU) and
+        ``HnswIndex.bulk_build_auto`` (the clustered MXU builder at ingest
+        scale, batched candidate beams below that) and
         commits the log in large KV batches; on a non-empty collection it
         degrades to sequential inserts. All-or-nothing on the empty-path:
         any failure resets the collection to empty (rollback parity).
@@ -328,7 +329,7 @@ class CoreEngine:
                 return list(ext_ids)
 
             try:
-                slots = col.hnsw.bulk_build(vecs)
+                slots = col.hnsw.bulk_build_auto(vecs)
                 for i, slot in enumerate(slots):
                     slot = int(slot)
                     md = dict(metadatas[i])
@@ -579,7 +580,7 @@ class CoreEngine:
             vecs = np.stack(
                 [np.frombuffer(r["vector"], np.float32) for r in recs]
             )
-            slots = col.hnsw.bulk_build(vecs)
+            slots = col.hnsw.bulk_build_auto(vecs)
             for r, slot in zip(recs, slots):
                 slot = int(slot)
                 col.inverted.add(slot, r["metadata"])

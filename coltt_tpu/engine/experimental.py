@@ -17,6 +17,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -194,6 +195,52 @@ class ExperimentalEngine:
             col.metadata[slot] = md
             col.inverted.add(slot, md)
 
+    def index_many(
+        self,
+        name: str,
+        record_ids: List[str],
+        vectors_by_field: Dict[str, np.ndarray],  # field -> [N, dim_f]
+        metadatas: Optional[List[Dict[str, Any]]] = None,
+    ) -> int:
+        """Bulk upsert (BulkIndex RPC; no reference analogue — its gRPC
+        path is one-by-one). One store sync covers the whole batch."""
+        with self._mu:
+            self.state.require_loaded(name)
+            col = self._collections[name]
+            n = len(record_ids)
+            if n == 0:
+                return 0
+            metadatas = metadatas or [{} for _ in range(n)]
+            if len(metadatas) != n:
+                raise EngineError("metadata must parallel rows")
+            for fname, block in vectors_by_field.items():
+                if np.asarray(block).shape[0] != n:
+                    raise EngineError(
+                        f"field {fname!r}: block rows != len(ids)"
+                    )
+            try:
+                mds = [col.schema.analyze_insert(m) for m in metadatas]
+            except SchemaError as e:
+                raise EngineError(str(e), ErrorCode.INTERNAL_FUNC_ERROR) from e
+            for i, rid in enumerate(record_ids):
+                if not rid:
+                    raise EngineError("record id required")
+                try:
+                    slot = col.store.upsert(
+                        rid, {f: b[i] for f, b in vectors_by_field.items()}
+                    )
+                except ValueError as e:
+                    raise EngineError(
+                        str(e), ErrorCode.INTERNAL_FUNC_ERROR
+                    ) from e
+                old = col.metadata.get(slot)
+                if old is not None:
+                    col.inverted.remove(slot, old)
+                col.metadata[slot] = mds[i]
+                col.inverted.add(slot, mds[i])
+            col.store.sync()
+            return n
+
     # -- search ---------------------------------------------------------------------
     def vector_search(
         self,
@@ -229,6 +276,57 @@ class ExperimentalEngine:
                 )
             )
         return hits
+
+    def vector_search_batch(
+        self,
+        name: str,
+        query_fields: Sequence[Tuple[str, np.ndarray, bool, float]],
+        top_k: int = 10,
+        *,
+        with_metadata: bool = False,
+    ):
+        """Batch-native CFLAT search (VectorSearchBatch RPC path): each
+        entry is (index_name, [Q, Df] query block, include_or_not, ratio%).
+
+        Returns columnar results matching the SearchBatchResponse wire
+        shape: ``(counts [Q], scores flat, ids flat, metadatas flat|None)``
+        — query q owns rows [sum(counts[:q]), sum(counts[:q+1])). Same
+        columnar flatten as the edge/core batch paths: per-hit Python
+        object construction stays off the hot path."""
+        with self._mu:
+            self.state.require_loaded(name)
+            col = self._collections[name]
+        included = [(n, v, r) for (n, v, inc, r) in query_fields if inc]
+        if not included:
+            raise EngineError("no included query vectors")
+        t0 = time.perf_counter()
+        try:
+            scores, slots = col.store.search_batch(included, k=max(1, int(top_k)))
+        except ValueError as e:
+            raise EngineError(str(e), ErrorCode.INTERNAL_FUNC_ERROR) from e
+        scan_s = time.perf_counter() - t0
+
+        scores = np.asarray(scores)
+        slots = np.asarray(slots)
+        keep = (slots >= 0) & np.isfinite(scores)
+        counts = keep.sum(axis=1).tolist()
+        flat = keep.ravel()
+        out_scores = scores.ravel()[flat].tolist()
+        flat_slots = slots.ravel()[flat]
+        pk_of = col.store.slot_to_pk
+        out_ids = [pk_of.get(int(s), "") for s in flat_slots]
+        out_mds: Optional[List[Dict[str, Any]]] = None
+        if with_metadata:
+            md_of = col.metadata
+            out_mds = [md_of.get(int(s), {}) for s in flat_slots]
+        log.debug(
+            "vector_search_batch",
+            extra={"kv": {
+                "collection": name, "q": int(scores.shape[0]),
+                "scan_ms": round(scan_s * 1e3, 2),
+            }},
+        )
+        return counts, out_scores, out_ids, out_mds
 
     # -- checkpoint -------------------------------------------------------------------
     def _flush_objects(self, name: str, col: _MvCollection) -> None:

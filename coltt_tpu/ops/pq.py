@@ -32,6 +32,20 @@ onto the MXU. Here:
 Codes are ``[N, M] uint8`` — with M = D/8 subspaces that is 8 bytes per
 96 float32s, a 32x-96x HBM footprint reduction over f8/none; PQ is what lets
 a 10M x 768d corpus live on one chip (BASELINE.json config #4).
+
+**Residual (coarse+PQ) mode** (``train_pq(coarse_centroids=C)``): a
+whole-vector k-means coarse quantizer (up to 65536 centroids, trained on
+device with the same batched Lloyd) absorbs the corpus's cluster
+structure, and the PQ codebook encodes only the residual ``x - g_cid`` —
+the IVFPQ encoding WITHOUT the inverted-list routing, so search remains
+the same full fused scan (same QPS) while reconstruction error drops with
+the residual energy (on cluster-mixture data, most of it). The coarse id
+rides as two leading uint8 bytes in each code row (``[N, 2+M]``), so
+every consumer that treats codes as an opaque byte matrix — snapshots,
+sharding, dynamic_update_slice — is unchanged; only encode/reconstruct/
+rerank interpret the layout (keyed off ``codebook.coarse``). Measured at
+10M x 768d (bench_pq.py): recall@10 0.71 (plain, M=192) -> 0.94
+(coarse=16384 + M=96 residual) with HALF the durable bytes per row.
 """
 
 from __future__ import annotations
@@ -74,6 +88,74 @@ def _encode_block_for(n: int, m: int, n_centroids: int) -> int:
 _SEARCH_BLOCK = 131_072
 
 
+_COARSE_BYTES = 2       # uint16 cid packed big-endian into the code prefix
+_COARSE_MAX = 1 << 16   # cid must fit the two prefix bytes
+# rows per coarse-assignment block: bounds the [B, C] f32 score transient
+# (~512 MB at C=16384)
+_COARSE_ASSIGN_BLOCK = 8192
+
+
+def _split_cid(codes):
+    """Packed residual codes [.., 2+M] -> (cid [..] int32, pq [.., M])."""
+    cid = (codes[..., 0].astype(jnp.int32) << 8) | codes[..., 1].astype(
+        jnp.int32)
+    return cid, codes[..., _COARSE_BYTES:]
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _coarse_assign(x, coarse, *, block: int):
+    """Nearest coarse centroid per row (L2), blocked over rows."""
+    csq = jnp.sum(coarse * coarse, axis=1)
+
+    def body(xb):
+        sims = 2.0 * (xb @ coarse.T) - csq[None, :]
+        return jnp.argmax(sims, axis=1).astype(jnp.int32)
+
+    n = x.shape[0]
+    if n <= block:
+        return body(x)
+    nb = n // block
+    main = lax.map(body, x[: nb * block].reshape(nb, block, -1)).reshape(-1)
+    if n % block:
+        return jnp.concatenate([main, body(x[nb * block:])])
+    return main
+
+
+@jax.jit
+def _coarse_lloyd_step(xs, cents):
+    """One whole-vector Lloyd iteration (assignment matmul + one-hot
+    update), scanning row blocks to bound the [B, C] transient. Empty
+    clusters keep their centroid."""
+    c = cents.shape[0]
+    csq = jnp.sum(cents * cents, axis=1)
+    blk = min(8192, xs.shape[0])
+    nb = xs.shape[0] // blk
+
+    def body(carry, xb):
+        sums, cnt = carry
+        sims = 2.0 * (xb @ cents.T) - csq[None, :]
+        oh = (
+            jnp.argmax(sims, axis=1)[:, None] == jnp.arange(c)[None, :]
+        ).astype(jnp.float32)
+        return (sums + oh.T @ xb, cnt + jnp.sum(oh, axis=0)), 0
+
+    (sums, cnt), _ = lax.scan(
+        body,
+        (jnp.zeros((c, xs.shape[1]), jnp.float32), jnp.zeros(c, jnp.float32)),
+        xs[: nb * blk].reshape(nb, blk, -1),
+    )
+    if xs.shape[0] % blk:
+        xb = xs[nb * blk:]
+        sims = 2.0 * (xb @ cents.T) - csq[None, :]
+        oh = (
+            jnp.argmax(sims, axis=1)[:, None] == jnp.arange(c)[None, :]
+        ).astype(jnp.float32)
+        sums = sums + oh.T @ xb
+        cnt = cnt + jnp.sum(oh, axis=0)
+    return jnp.where(cnt[:, None] > 0, sums / jnp.maximum(cnt, 1.0)[:, None],
+                     cents)
+
+
 def default_subspaces(dim: int, target_dsub: int = 8) -> int:
     """Largest M <= dim/target_dsub that divides dim (dsub >= 2)."""
     m = max(1, dim // target_dsub)
@@ -102,13 +184,22 @@ class PQCodebook:
 
     centroids: jax.Array
     rotation: Optional[jax.Array] = None
+    # residual mode: [C, D] whole-vector coarse centroids (rotated space);
+    # PQ centroids then encode x - coarse[cid] and each code row carries
+    # the uint16 cid in its two leading bytes
+    coarse: Optional[jax.Array] = None
 
     def tree_flatten(self):
-        return (self.centroids, self.rotation), None
+        return (self.centroids, self.rotation, self.coarse), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1])
+        return cls(children[0], children[1], children[2])
+
+    @property
+    def code_width(self) -> int:
+        """Bytes per stored code row (cid prefix + M subspace codes)."""
+        return self.m + (_COARSE_BYTES if self.coarse is not None else 0)
 
     def rotate(self, x: jax.Array) -> jax.Array:
         """Project into the codebook's space (identity when no OPQ)."""
@@ -147,7 +238,9 @@ class PQCodebook:
         cents = np.asarray(jax.device_get(self.centroids), np.float32)
         header = {"m": int(cents.shape[0]), "k": int(cents.shape[1]),
                   "dsub": int(cents.shape[2]),
-                  "opq": self.rotation is not None}
+                  "opq": self.rotation is not None,
+                  "coarse": (0 if self.coarse is None
+                             else int(self.coarse.shape[0]))}
         hb = msgpack.packb(header, use_bin_type=True)
         f.write(_CODEBOOK_MAGIC)
         f.write(len(hb).to_bytes(8, "big"))
@@ -155,6 +248,9 @@ class PQCodebook:
         f.write(cents.tobytes())
         if self.rotation is not None:
             f.write(np.asarray(jax.device_get(self.rotation),
+                               np.float32).tobytes())
+        if self.coarse is not None:
+            f.write(np.asarray(jax.device_get(self.coarse),
                                np.float32).tobytes())
 
     @classmethod
@@ -167,12 +263,18 @@ class PQCodebook:
         m, k, dsub = h["m"], h["k"], h["dsub"]
         cents = np.frombuffer(f.read(m * k * dsub * 4), np.float32)
         rot = None
+        d = m * dsub
         if h.get("opq"):
-            d = m * dsub
             rot = jnp.asarray(
                 np.frombuffer(f.read(d * d * 4), np.float32).reshape(d, d)
             )
-        return cls(jnp.asarray(cents.reshape(m, k, dsub)), rot)
+        coarse = None
+        c = h.get("coarse", 0)
+        if c:
+            coarse = jnp.asarray(
+                np.frombuffer(f.read(c * d * 4), np.float32).reshape(c, d)
+            )
+        return cls(jnp.asarray(cents.reshape(m, k, dsub)), rot, coarse)
 
 
 def _sub_assign(x_sub, centroids, csq):
@@ -231,6 +333,8 @@ def train_pq(
     sample_size: int = 65_536,
     key: Optional[jax.Array] = None,
     opq_iters: int = 0,
+    coarse_centroids: int = 0,
+    coarse_iters: int = 10,
 ) -> PQCodebook:
     """Train a PQ codebook on (a sample of) ``vectors [N, D] float32``.
 
@@ -240,7 +344,16 @@ def train_pq(
     ``min_R ||X R - X_hat||_F`` via SVD for a new rotation. The rotation
     is initialized from the sample's PCA eigenvectors (which alone gets
     most of the benefit on anisotropic data).
+
+    ``coarse_centroids > 0`` enables residual mode (module docstring):
+    after the rotation settles, a whole-vector k-means of that many
+    centroids (<= 65536) is trained on the rotated sample and the PQ
+    codebook is re-fit on the sample's coarse residuals.
     """
+    if coarse_centroids < 0 or coarse_centroids > _COARSE_MAX:
+        raise ValueError(
+            f"coarse_centroids must be 0..{_COARSE_MAX} (uint16 cid prefix)"
+        )
     x = jnp.asarray(vectors, jnp.float32)
     n, dim = x.shape
     if m is None:
@@ -314,10 +427,24 @@ def train_pq(
         sample_r = sample @ rotation
         cents = fit(sample_r, iters)
 
+    coarse = None
+    if coarse_centroids:
+        c = min(coarse_centroids, s)
+        kc = jax.random.fold_in(kinit, 1)
+        init_rows = jax.random.choice(kc, s, (c,), replace=False)
+        coarse = jnp.take(sample_r, init_rows, axis=0)
+        for _ in range(max(1, coarse_iters)):
+            coarse = _coarse_lloyd_step(sample_r, coarse)
+        cid = _coarse_assign(sample_r, coarse,
+                             block=_COARSE_ASSIGN_BLOCK)
+        # re-fit the subspace codebook on the residual distribution —
+        # that is where the codes' bits now go
+        cents = fit(sample_r - jnp.take(coarse, cid, axis=0), iters)
+
     if k < n_centroids:  # pad so codes stay uint8-dense and shapes static
         pad = jnp.repeat(cents[:, :1], n_centroids - k, axis=1)
         cents = jnp.concatenate([cents, pad], axis=1)
-    return PQCodebook(cents, rotation)
+    return PQCodebook(cents, rotation, coarse)
 
 
 @partial(jax.jit, static_argnames=("block",))
@@ -350,20 +477,61 @@ def _encode_all(x, centroids, csq, *, block: int):
 
 
 def pq_encode(vectors, codebook: PQCodebook) -> Tuple[jax.Array, jax.Array]:
-    """Encode ``[N, D]`` -> ``(codes [N, M] uint8, sqnorm [N] f32)``.
+    """Encode ``[N, D]`` -> ``(codes [N, code_width] uint8, sqnorm [N] f32)``.
 
     ``sqnorm`` is the exact squared norm of the *reconstruction* (the value
-    the fused scan needs), via the centroid-norm LUT. With an OPQ rotation
-    the input is rotated first; codes and reconstructions live in the
-    rotated space (dot/cosine are invariant — scans rotate the query).
+    the fused scan needs) — via the centroid-norm LUT in plain mode, via a
+    blocked reconstruct in residual mode (the coarse/PQ cross term defeats
+    the LUT). With an OPQ rotation the input is rotated first; codes and
+    reconstructions live in the rotated space (dot/cosine are invariant —
+    scans rotate the query). In residual mode the first two bytes of each
+    code row carry the uint16 coarse id. Callers feed chunked inputs at
+    10M scale (the [N, D] residual is a transient of the input's size).
     """
     x = codebook.rotate(jnp.asarray(vectors, jnp.float32))
     n = x.shape[0]
     block = _encode_block_for(n, codebook.m, codebook.n_centroids)
-    codes, sqnorm = _encode_all(
-        x, codebook.centroids, codebook.centroid_sqnorm, block=block
+    if codebook.coarse is None:
+        return _encode_all(
+            x, codebook.centroids, codebook.centroid_sqnorm, block=block
+        )
+    cid = _coarse_assign(x, codebook.coarse, block=_COARSE_ASSIGN_BLOCK)
+    resid = x - jnp.take(codebook.coarse, cid, axis=0)
+    pq_c, _ = _encode_all(
+        resid, codebook.centroids, codebook.centroid_sqnorm, block=block
+    )
+    codes = jnp.concatenate(
+        [
+            (cid >> 8).astype(jnp.uint8)[:, None],
+            (cid & 0xFF).astype(jnp.uint8)[:, None],
+            pq_c,
+        ],
+        axis=1,
+    )
+    sqnorm = _recon_sqnorm_blocked(
+        codes, codebook.centroids, codebook.coarse, block=block
     )
     return codes, sqnorm
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _recon_sqnorm_blocked(codes, centroids, coarse, *, block: int):
+    """||reconstruction||^2 for residual codes, blocked over rows."""
+    n = codes.shape[0]
+
+    def body(cb):
+        rec = _reconstruct(cb, centroids, jnp.float32, coarse=coarse)
+        return jnp.sum(rec * rec, axis=1)
+
+    if n <= block:
+        return body(codes)
+    nb = n // block
+    main = lax.map(
+        body, codes[: nb * block].reshape(nb, block, -1)
+    ).reshape(-1)
+    if n % block:
+        return jnp.concatenate([main, body(codes[nb * block:])])
+    return main
 
 
 def _sqnorm_from_codes(codes, csq_t, block: int):
@@ -392,30 +560,45 @@ def _sqnorm_blocked(codes, csq_t, *, block):
 
 def pq_sqnorm(codes, codebook: PQCodebook, *, block: int = _ENCODE_BLOCK
               ) -> jax.Array:
-    """Exact squared reconstruction norms for ``[N, M]`` codes via the LUT,
-    blocked over rows (memory-safe at any N)."""
+    """Exact squared reconstruction norms for code rows, blocked over rows
+    (memory-safe at any N). LUT-summed in plain mode, reconstructed in
+    residual mode (the cross term defeats the LUT)."""
+    if codebook.coarse is not None:
+        return _recon_sqnorm_blocked(
+            codes, codebook.centroids, codebook.coarse,
+            block=min(block, codes.shape[0]),
+        )
     return _sqnorm_blocked(codes, codebook.centroid_sqnorm.T, block=block)
 
 
 def pq_reconstruct(codes, codebook: PQCodebook, *, derotate: bool = False
                    ) -> jax.Array:
-    """Decode ``[N, M] uint8`` -> ``[N, D] float32`` (centroid concatenation).
+    """Decode code rows -> ``[N, D] float32`` (centroid concatenation, plus
+    the coarse centroid in residual mode).
 
     The result lives in the codebook's (possibly OPQ-rotated) space;
     ``derotate=True`` maps back to the original coordinates (for
     user-facing vector readback)."""
-    rec = _reconstruct(codes, codebook.centroids, jnp.float32)
+    rec = _reconstruct(codes, codebook.centroids, jnp.float32,
+                       coarse=codebook.coarse)
     return codebook.derotate(rec) if derotate else rec
 
 
-def _reconstruct(codes, centroids, dtype):
+def _reconstruct(codes, centroids, dtype, coarse=None):
+    """[N, M] (or [N, 2+M] residual) uint8 codes -> [N, D] ``dtype``."""
+    cid = None
+    if coarse is not None:
+        cid, codes = _split_cid(codes)
     n, m = codes.shape
     _, _, dsub = centroids.shape
     table = jnp.moveaxis(centroids, 0, 1).astype(dtype)  # [K, M, dsub]
     rec = jnp.take_along_axis(
         table, codes.astype(jnp.int32)[..., None], axis=0
     )  # [N, M, dsub]
-    return rec.reshape(n, m * dsub)
+    rec = rec.reshape(n, m * dsub)
+    if coarse is not None:
+        rec = rec + jnp.take(coarse, cid, axis=0).astype(dtype)
+    return rec
 
 
 @partial(
@@ -434,6 +617,7 @@ def pq_scan_neg_topk(
     compute_dtype=jnp.bfloat16,
     block_rows: Optional[int] = None,
     rotation=None,
+    coarse=None,
 ):
     """ADC top-k over PQ codes: ``(negdist [Q,k], ids [Q,k])``.
 
@@ -463,7 +647,7 @@ def pq_scan_neg_topk(
     block = min(block_rows, n)
 
     def scan_block(c_blk, sq_blk, v_blk):
-        rec = _reconstruct(c_blk, centroids, compute_dtype)
+        rec = _reconstruct(c_blk, centroids, compute_dtype, coarse=coarse)
         return scan_distances(
             queries, rec, None, sq_blk, v_blk,
             metric=metric, compute_dtype=compute_dtype,
@@ -499,7 +683,8 @@ def pq_scan_neg_topk(
 
 @partial(jax.jit, static_argnames=("k", "metric"))
 def pq_rerank_neg_topk(queries, negd, ids, codes, centroids, *, k,
-                       metric: Metric = Metric.COSINE, rotation=None):
+                       metric: Metric = Metric.COSINE, rotation=None,
+                       coarse=None):
     """Re-score a shortlist against the EXACT PQ reconstruction.
 
     ``negd/ids [Q, C]`` come from the f8 reconstruction-cache scan (whose
@@ -519,8 +704,8 @@ def pq_rerank_neg_topk(queries, negd, ids, codes, centroids, *, k,
         queries = queries @ rotation
     qn, c = ids.shape
     safe = jnp.where(ids >= 0, ids, 0)
-    crow = jnp.take(codes, safe.reshape(-1), axis=0)      # [Q*C, M]
-    rec = _reconstruct(crow, centroids, jnp.float32)
+    crow = jnp.take(codes, safe.reshape(-1), axis=0)      # [Q*C, code_width]
+    rec = _reconstruct(crow, centroids, jnp.float32, coarse=coarse)
     d = rec.shape[-1]
     return rescore_topk(queries, rec.reshape(qn, c, d), negd, ids,
                         k=k, metric=metric, compute_dtype=jnp.float32)
@@ -537,7 +722,7 @@ def pq_scan_topk(
     negd, idx = pq_scan_neg_topk(
         queries, codes, codebook.centroids, sqnorm, valid,
         k=k, metric=metric, compute_dtype=compute_dtype,
-        rotation=codebook.rotation,
+        rotation=codebook.rotation, coarse=codebook.coarse,
     )
     score = jnp.where(jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric))
     return score, idx

@@ -12,18 +12,29 @@ write+read per batch, several times the size of the (int8) corpus itself.
 This kernel keeps each score tile in VMEM and reduces it on the VPU to one
 survivor per bin (16 or 32 rows), so only ``[Q, N/bin]`` words ever
 reach HBM (64-128x less); a small selection pass finishes off. The
-survivor is a single packed int32 *monotone key*: the f32 score's bit
-pattern is mapped through the standard sign-fold involution
-(``b ^ ((b >> 31) & 0x7fffffff)``) so integer order equals float order,
-then the bin's slice index replaces the low mantissa bits (a ~2^-18
-relative perturbation, far below quantization error). The reduction is a
-plain integer ``maximum`` tree, the kernel writes ONE output instead of a
+survivor is a single packed int32 *monotone key*, built by **biasing the
+score positive before packing**: a bias ``B`` — a rigorous Cauchy-Schwarz
+upper bound on |score|, static for the int8 cosine path, a cheap traced
+reduction otherwise — rides in ``rowadd``, so every valid score lands in
+``(0, 2B]``. For positive f32 values the raw bit pattern already orders
+like the value, so the key is just ``bitcast(score + B)`` with the bin's
+slice index replacing the low mantissa bits (a ~2^-18-of-B absolute
+perturbation, far below quantization error). The reduction is a plain
+integer ``maximum`` tree, the kernel writes ONE output instead of a
 (vals, ids) pair, and the winner's row id is reconstructed bit-wise after
-the final top-k — no [Q, N/bin] id array, no gather. Keys live in int32
-lanes end to end, so scores of 0.0 / denormal magnitude (realistic for
-orthogonal cosine queries) cannot be flushed to zero by the TPU's FTZ
-float paths — flushing would erase the slice bits and fabricate row ids
-(the hazard ADVICE.md r1 flagged; see also ops/topk.py fetch_scores_ids).
+the final top-k — no [Q, N/bin] id array, no gather.
+
+The bias serves two masters at once. (1) *Speed*: making keys monotone
+without it needs the sign-fold involution (``b ^ ((b >> 31) &
+0x7fffffff)``) on every [Q, N] element — measured ~3 extra VPU ops per
+element = the r02 regression's −10.8% QPS at 1M x 768 (BENCH_r01 vs
+BENCH_r02); with the bias folded into ``rowadd`` the packing is the same
+2 ops (and, or) the r01 kernel had. (2) *FTZ safety*: valid scores sit at
+magnitude ~B — never denormal — and tombstones sit at ~-3e38, so neither
+the integer kernel lanes nor the f32 view the final selection consumes
+can flush a value to zero and fabricate a row id (the hazard ADVICE.md
+r1 flagged; see also ops/topk.py fetch_scores_ids). Keys stay in int32
+lanes through the kernel and HBM as belt-and-braces.
 
 Three design rules keep the kernel on the hardware's fast paths (each
 measured on v5e at Q=2048, N=1M, D=768):
@@ -50,10 +61,17 @@ the TPU-KNN recipe (arXiv:2206.14286): one survivor per bin, so two
 true top-k rows colliding in one bin lose the weaker one (pair collision
 probability bin/N — at k=10, bin=32, N=1M the expected recall impact is
 <0.2%, recovered by the rerank stage's oversampling).
-``final="approx"`` additionally selects over the [Q, N/bin] survivors with
-XLA's ApproxTopK (another ~2x end-to-end; default at serving sizes), while
-``final="exact"`` runs a full ``lax.top_k``. Stores keep the exact XLA
-path as default and expose this kernel as the ``fused`` search mode.
+The final selection over the [Q, N/bin] survivors is, at serving sizes,
+a *partitioned* ApproxTopK: independent halves of the bin axis each
+reduce to their own survivor budget and sort, and the 2*k sorted heads
+merge exactly. Exact ``lax.top_k`` over all survivors is the recall
+ceiling but costs as much as the scan itself (XLA's sort: measured
++11 ms at [2048, 31250] — do NOT trust block_until_ready timings through
+the relay; only end-to-end QPS); single-call ApproxTopK is ~free but its
+reduction collisions cost ~0.8% recall@10 (numbers at the selection
+site). ``final="exact"`` remains for small stores and ground-truthing.
+Stores keep the exact XLA path as default and expose this kernel as the
+``fused`` search mode.
 
 Kernel shape rules: D % 128 == 0, N % chunk == 0 where chunk is 4096 when
 N allows it, else 2048 (stores allocate in 8192 quanta so production
@@ -108,10 +126,14 @@ def _kernel(q_ref, c_ref, rowmul_ref, rowadd_ref, out_ref, *,
 
     ``rowmul``/``rowadd`` are per-row (corpus) factors; per-query factors
     are applied by the caller after the final top-k (see module docstring).
-    The bin reduction sign-folds each score's bits into a monotone int32
-    key, packs the 128-lane slice's index into the low bits, and takes an
-    elementwise integer ``maximum`` over the slices — never across lanes,
-    one output stream, no float lanes that could flush denormal scores.
+    ``rowadd`` carries the positivity bias, so every valid score's f32 bit
+    pattern IS a monotone non-negative int32 key; the packing just masks
+    the low mantissa bits and ORs in the 128-lane slice's index, then an
+    elementwise integer ``maximum`` reduces over the slices — never across
+    lanes, one output stream. Tombstone scores (~-3e38) bitcast to
+    negative int32 and lose to every valid key; their order among
+    themselves is scrambled, which is fine — they all fall below
+    ``_INVALID_CUT`` after unpacking.
     """
     nsl = chunk // _LANES
     mask = jnp.int32(-nsl)  # clears the low log2(nsl) mantissa bits
@@ -132,11 +154,9 @@ def _kernel(q_ref, c_ref, rowmul_ref, rowadd_ref, out_ref, *,
     val = dots * rowmul_ref[:] + rowadd_ref[:]
 
     def pack(x, s):
-        b = lax.bitcast_convert_type(x, jnp.int32)
-        # sign-fold: monotone f32-bits -> int32 key (involution; its own
-        # inverse). Comparison and storage stay in integer lanes.
-        key = b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
-        return (key & mask) | s
+        # biased-positive scores: raw f32 bits are already a monotone
+        # non-negative int32 key (see module docstring) — 2 VPU ops.
+        return (lax.bitcast_convert_type(x, jnp.int32) & mask) | s
 
     m = pack(val[:, :_LANES], 0)
     for s in range(1, nsl):
@@ -283,11 +303,28 @@ def fused_scan_neg_topk(
         )
         qmul = (qscale / qn) if int8 else (1.0 / qn)   # [qp, 1]
         qadd = jnp.float32(-1.0)  # val*qmul = cos_sim -> -dist = cos_sim - 1
+        # |val| = |dot| * scale/||deq_row|| <= ||q_kern|| by Cauchy-Schwarz
+        # (||codes_row|| = ||deq_row||/scale): static 127*sqrt(d) for int8
+        # queries, else the traced max query norm
+        if int8:
+            bound = 127.0 * float(np.sqrt(d))
+        else:
+            bound = jnp.sqrt(jnp.max(jnp.sum(queries * queries, axis=1)))
     else:  # EUCLIDEAN (squared): val = 2*dot*scale - |v|^2 (+penalty)
         rowmul = 2.0 * scale_row * (gscale if int8 else 1.0)
         rowadd = penalty - sqnorm
         qmul = jnp.ones((qp, 1), jnp.float32)
         qadd = -jnp.sum(queries * queries, axis=1, keepdims=True)  # -> -dist
+        # |2*dot*scale_eff| <= 2*||q_kern||*||deq_row|| (Cauchy-Schwarz,
+        # same norm identity as above), plus the -|v|^2 term
+        maxsq = jnp.max(sqnorm)
+        qn_bound = (127.0 * float(np.sqrt(d)) * gscale if int8
+                    else jnp.sqrt(jnp.max(jnp.sum(queries * queries, axis=1))))
+        bound = 2.0 * qn_bound * jnp.sqrt(maxsq) + maxsq
+    # 2x margin covers bf16 input rounding (<1% each side) and the f32
+    # FMA rounding of val itself; the clamp keeps penalty + bias finite
+    bias = jnp.minimum(jnp.float32(2.0) * bound, jnp.float32(1e36))
+    rowadd = rowadd + bias
 
     keys = _binmax_scan(
         qkern, codes, rowmul.reshape(1, n), rowadd.reshape(1, n),
@@ -296,41 +333,56 @@ def fused_scan_neg_topk(
     kk = min(k, keys.shape[1])
     if final == "auto":
         final = "approx" if keys.shape[1] > 8192 else "exact"
-    if final == "approx" and kk < keys.shape[1]:
-        # ApproxTopK wants floats. r02 value-converted the keys
-        # (int32 -> f32 rounding drops the low ~8 bits, creating ties
-        # ApproxTopK breaks arbitrarily — measured -0.005 recall@10 and,
-        # with the repair gather+re-sort it forced, -10.8% QPS at 1M x 768
-        # — see BENCH_r01 vs BENCH_r02). Instead, unfold the sign-fold
-        # involution and BITCAST: float total order == int32 key order
-        # with all 32 bits preserved, so the selection is as exact as
-        # lax.top_k on the int keys. The f32 view is only ever an operand
-        # of comparisons inside ApproxTopK; ids/scores are reconstructed
-        # from the gathered *integer* keys, so TPU denormal flushing (the
-        # FTZ hazard this module's int32 keys exist to dodge) can at worst
-        # reorder candidates whose |score| < 1.2e-38 among themselves —
-        # it cannot fabricate ids. No re-sort needed: positions arrive in
-        # exact key order (modulo that same denormal tie set).
-        fview = lax.bitcast_convert_type(
-            keys ^ ((keys >> 31) & jnp.int32(0x7FFFFFFF)), jnp.float32
-        )
-        _, pos = lax.approx_max_k(fview, kk, recall_target=0.95)
-        sel = jnp.take_along_axis(keys, pos, axis=1)
+    # Select on the f32 VIEW of the keys in both modes: thanks to the
+    # bias, valid keys are bit patterns of normal positive floats (order
+    # preserved, all 32 bits, nothing flushable) and tombstones are ~-3e38
+    # normals that sort last. The returned values bitcast straight back to
+    # keys, so no gather of the key matrix.
+    #
+    # Cost/recall frontier, measured on v5e at 1M x 768 (Q=2048, same
+    # seed, clean host): XLA's sort-backed exact top-40 over the [Q,
+    # 31250] survivors costs ~11 ms — as much as the whole scan — for the
+    # best recall (82.5k QPS @ .9938); single ApproxTopK (reduce to 2048
+    # survivors in 4 halving rounds, sort those) is ~free but its
+    # slot-collisions eliminate true top-10 rows that int8 noise pushed
+    # to shortlist-rank ~40 (146.7k QPS @ .9859). The partitioned form
+    # below splits the bins into independent halves: same total reduction
+    # work, each true candidate competes in half the field for the same
+    # 2048-survivor budget (collision odds drop ~4x: fewer rounds AND
+    # lower in-part rank), and the per-part sorts stay 2048-wide. Only
+    # the merge of 2*kk sorted heads is new — trivial.
+    fview = lax.bitcast_convert_type(keys, jnp.float32)
+    nb = keys.shape[1]
+    parts = 2 if (nb >= 16384 and nb % 2 == 0) else 1
+    if final == "approx" and kk < nb:
+        if parts > 1:
+            sub = nb // parts
+            fv = fview.reshape(qp * parts, sub)
+            fs, ps = lax.approx_max_k(fv, kk, recall_target=0.95)
+            # row r of fv is (query r // parts, part r % parts): shift the
+            # in-part positions back to global bin indices
+            ps = ps + (
+                (jnp.arange(qp * parts, dtype=jnp.int32) % parts) * sub
+            )[:, None]
+            fsel, i2 = lax.top_k(fs.reshape(qp, parts * kk), kk)
+            pos = jnp.take_along_axis(ps.reshape(qp, parts * kk), i2, axis=1)
+        else:
+            fsel, pos = lax.approx_max_k(fview, kk, recall_target=0.95)
     else:
-        sel, pos = lax.top_k(keys, kk)  # [qp, kk] over N/bin candidates
+        fsel, pos = lax.top_k(fview, kk)  # [qp, kk] over N/bin candidates
+    sel = lax.bitcast_convert_type(fsel, jnp.int32)
     # unpack: low key bits carry the slice index; the column carries
     # (chunk index, lane) — the row id is reconstructed bit-wise
     nsl = chunk // _LANES
     ids = ((pos // _LANES) * chunk + (sel & (nsl - 1)) * _LANES
            + pos % _LANES)
-    keybits = sel & jnp.int32(-nsl)
-    best = lax.bitcast_convert_type(
-        keybits ^ ((keybits >> 31) & jnp.int32(0x7FFFFFFF)), jnp.float32
-    )
+    best = lax.bitcast_convert_type(sel & jnp.int32(-nsl), jnp.float32)
 
     # per-query affine back to the negated-distance convention (qmul > 0,
-    # so ranking within each query is unchanged; merges stay compatible)
-    negd = best * qmul + qadd
+    # so ranking within each query is unchanged; merges stay compatible).
+    # un-bias first: best ~ B + val, and the packing error (2^-18 * B) —
+    # not this subtraction — dominates the residual.
+    negd = (best - bias) * qmul + qadd
     negd = jnp.where(best > _INVALID_CUT, negd, -jnp.inf)
     return negd[:q], ids[:q].astype(jnp.int32)
 
@@ -491,7 +543,8 @@ def fused_unit_i8_neg_topk(queries, codes, gscale, bin_live, *, k,
     fval = lax.bitcast_convert_type(packed + jnp.int32(1 << 30), jnp.float32)
     kk = min(k, packed.shape[1])
     if final == "auto":
-        final = "approx" if packed.shape[1] > 8192 else "exact"
+        final = "exact"  # selection tails are ~free at serving sizes (see
+        # fused_scan_neg_topk); exact costs nothing and loses nothing
     if final == "approx" and kk < packed.shape[1]:
         _, pos = lax.approx_max_k(fval, kk, recall_target=0.95)
     else:

@@ -671,6 +671,50 @@ class DistributedFlatIndex:
             if rerank_dtype is not None else None
         )
 
+    @classmethod
+    def from_bq_codes(
+        cls,
+        mesh: Mesh,
+        packed: np.ndarray,   # [N, ceil(dim/32)] uint32 sign bits
+        *,
+        dim: int,
+        rr_codes: Optional[np.ndarray] = None,  # [N, dim] rerank copy
+        rerank_dtype=jnp.bfloat16,
+    ) -> "DistributedFlatIndex":
+        """Build a BQ index from pre-packed sign codes — the streaming
+        ingest path for corpora whose f32 form exceeds HBM (e.g. 10M x 768d
+        = 30 GB f32 vs 960 MB packed): callers encode slab-wise with
+        ``bq_encode`` and hand the packed rows here."""
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.metric = Metric.COSINE
+        self.quantization = Quantization.BQ
+        self.rerank_dtype = rerank_dtype if rr_codes is not None else None
+        self.compute_dtype = jnp.bfloat16
+        self.unit_i8 = False
+        n, w = packed.shape
+        self.n, self.dim = n, dim
+        n_shards = mesh.shape[SHARD_AXIS]
+        pad = (-n) % (n_shards * 2 * 2048)
+        if pad:
+            packed = np.concatenate(
+                [packed, np.zeros((pad, w), packed.dtype)]
+            )
+        valid = np.arange(n + pad) < n
+        spec = NamedSharding(mesh, P(SHARD_AXIS))
+        self.codes = jax.device_put(jnp.asarray(packed), spec)
+        self.valid = jax.device_put(jnp.asarray(valid), spec)
+        if rr_codes is not None:
+            rr = np.asarray(rr_codes)
+            if pad:
+                rr = np.concatenate([rr, np.zeros((pad, dim), rr.dtype)])
+            self.rr_codes = jax.device_put(
+                jnp.asarray(rr).astype(rerank_dtype), spec
+            )
+        else:
+            self.rr_codes = None
+        return self
+
     def search(
         self, queries: np.ndarray, k: int, *, approx_recall=None,
         oversample: int = 8, fused: bool = False,

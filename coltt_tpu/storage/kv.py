@@ -14,10 +14,20 @@ expire + key/value lengths + payload, CRC at the WAL chunk layer
 db.go:470-495 and dropped by merge merge.go:138) is honored via per-key
 TTLs.
 
-The in-memory index is a plain dict + lazily-sorted key list (the role of
-diskv's btree); compaction rewrites live records into fresh segments and
-drops the old ones. Reopen loads the newest HINT snapshot (written on
-merge and on clean close) and replays only WAL records past the hint
+The in-memory index is a dict (key -> position) plus a blocked sorted key
+list (:mod:`coltt_tpu.utils.sortedkeys` — the role of diskv's
+google/btree): ordered ops are O(log n + m) with no resort cliff.
+Compaction is **non-blocking** like the reference's merge-directory scheme
+(merge.go:40-221): the write lock is held only to snapshot the key list,
+per ~1k-record rewrite chunk, and for the final segment retire — writers
+proceed between chunks. Where diskv restores time-order by renaming the
+merge directory's segments below the live ones, this log is single-
+sequence, so merge rewrites instead carry their record's ORIGINAL batch id
+(REC_MERGE_PUT) and replay resolves every key by max batch id — a
+concurrent overwrite beats an interleaved merge copy regardless of
+physical log order; live readers are protected by a position re-check
+before each index update. Reopen loads the newest HINT snapshot (written
+on merge and on clean close) and replays only WAL records past the hint
 boundary — a compacted 1M-record log reopens without touching the payload
 segments.
 """
@@ -33,10 +43,15 @@ import time
 from typing import Callable, Dict, Iterator, List, NamedTuple, Optional, Tuple
 
 from coltt_tpu.storage.wal import WAL, ChunkPosition
+from coltt_tpu.utils.sortedkeys import SortedKeys
 
 REC_PUT = 1
 REC_DELETE = 2
 REC_BATCH_FINISH = 3
+# compaction rewrite carrying the ORIGINAL record's batch id (no finish
+# marker — each is a self-contained CRC-checked copy of a committed
+# record). Additive to format "2": only this build reads these dirs.
+REC_MERGE_PUT = 4
 
 _LOCK_FILE = "FLOCK"
 _FORMAT_FILE = "FORMAT"
@@ -117,12 +132,14 @@ class Batch:
             positions = db._wal.write_batch(payloads)
             for (key, value, expire), pos in zip(keys, positions[:-1]):
                 if value is None:
-                    db._index.pop(key, None)
+                    if db._index.pop(key, None) is not None:
+                        db._sorted.discard(key)
                     db._emit("delete", key, None)
                 else:
+                    if key not in db._index:
+                        db._sorted.add(key)
                     db._index[key] = _Entry(pos, expire)
                     db._emit("put", key, value)
-            db._sorted_dirty = True
             db._writes_since_merge += len(keys)
         self._pending = {}
 
@@ -169,9 +186,9 @@ class KV:
                 sync_on_write=sync_on_write,
             )
             self._mu = threading.RLock()
+            self._merge_mu = threading.Lock()  # one compaction at a time
             self._index: Dict[bytes, _Entry] = {}
-            self._sorted_keys: List[bytes] = []
-            self._sorted_dirty = True
+            self._sorted = SortedKeys()
             self._batch_seq = 0
             self._watchers: List[Callable[[str, bytes, Optional[bytes]], None]] = []
             # async watch dispatch (watch.go buffered queue): a bounded ring
@@ -277,6 +294,21 @@ class KV:
         boundary = self._load_hint()
         now = time.time_ns()
         staged: Dict[int, List[Tuple[int, bytes, ChunkPosition, int]]] = {}
+        # per-key resolution is by MAX batch id, not log order: a merge
+        # rewrite (REC_MERGE_PUT, carrying its record's original id) may be
+        # physically interleaved after a concurrent overwrite it must lose to
+        applied: Dict[bytes, int] = {}
+
+        def apply(rtype: int, bid: int, key: bytes, pos: ChunkPosition,
+                  expire: int) -> None:
+            if bid < applied.get(key, -1):
+                return
+            applied[key] = bid
+            if rtype != REC_DELETE and (expire == 0 or expire > now):
+                self._index[key] = _Entry(pos, expire)
+            else:
+                self._index.pop(key, None)
+
         records = (
             self._wal.read_from(*boundary) if boundary is not None
             else self._wal.read_all()
@@ -286,15 +318,20 @@ class KV:
             rtype, batch_id, key, _, expire = _decode_record(payload)
             if rtype == REC_BATCH_FINISH:
                 for r, k, p, e in staged.pop(batch_id, []):
-                    if r == REC_PUT and (e == 0 or e > now):
-                        self._index[k] = _Entry(p, e)
-                    else:
-                        self._index.pop(k, None)
+                    apply(r, batch_id, k, p, e)
+                self._batch_seq = max(self._batch_seq, batch_id)
+            elif rtype == REC_MERGE_PUT:
+                # self-contained committed copy: applies without a finish
+                # marker. Still bumps the sequence — after the original
+                # segments are retired, the carried ids are the only trace
+                # of how high the sequence got, and fresh writes must not
+                # reuse (and thus lose to) them.
+                apply(rtype, batch_id, key, pos, expire)
                 self._batch_seq = max(self._batch_seq, batch_id)
             else:
                 staged.setdefault(batch_id, []).append((rtype, key, pos, expire))
         # unfinished batches (crash mid-commit) are discarded — atomicity
-        self._sorted_dirty = True
+        self._sorted = SortedKeys(self._index.keys())
 
     # -- single-op API (each wraps a Batch, db.go:245-300) --------------------
     def new_batch(self) -> Batch:
@@ -313,13 +350,24 @@ class KV:
         b.commit()
 
     def get(self, key: bytes) -> Optional[bytes]:
-        with self._mu:
-            ent = self._index.get(bytes(key))
-        if ent is None or not ent.live():
-            return None
-        payload = self._wal.read(ent.pos)
-        _, _, _, value, _ = _decode_record(payload)
-        return value
+        key = bytes(key)
+        for attempt in range(2):
+            with self._mu:
+                ent = self._index.get(key)
+            if ent is None or not ent.live():
+                return None
+            try:
+                payload = self._wal.read(ent.pos)
+            except (FileNotFoundError, OSError):
+                if attempt == 0:
+                    # a concurrent merge retired this segment between our
+                    # index lookup and the read; the index already points at
+                    # the rewrite (updates land before segments go) — retry
+                    continue
+                raise
+            _, _, _, value, _ = _decode_record(payload)
+            return value
+        return None  # unreachable; keeps type checkers honest
 
     def ttl(self, key: bytes) -> Optional[float]:
         """Seconds until expiry; None if missing/expired; inf if no TTL."""
@@ -351,21 +399,17 @@ class KV:
         return {"keys": len(self), "disk_size": disk,
                 "segments": len(self._wal.segments())}
 
-    # -- ordered iteration (db.go:309-469) -------------------------------------
+    # -- ordered iteration (db.go:309-469; btree role -> SortedKeys) -----------
     def _keys_sorted(self) -> List[bytes]:
+        """Full ordered snapshot — O(n) copy, never a resort."""
         with self._mu:
-            if self._sorted_dirty:
-                self._sorted_keys = sorted(self._index)
-                self._sorted_dirty = False
-            return list(self._sorted_keys)
+            return list(self._sorted)
 
     def ascend(self, *, start: Optional[bytes] = None, end: Optional[bytes] = None
                ) -> Iterator[Tuple[bytes, bytes]]:
-        for k in self._keys_sorted():
-            if start is not None and k < start:
-                continue
-            if end is not None and k > end:
-                break
+        with self._mu:
+            ks = self._sorted.range_list(start, end)  # O(log n + m) snapshot
+        for k in ks:
             v = self.get(k)
             if v is not None:
                 yield k, v
@@ -376,14 +420,34 @@ class KV:
             if v is not None:
                 yield k, v
 
+    @staticmethod
+    def _prefix_end(prefix: bytes) -> Optional[bytes]:
+        """Smallest upper bound covering every key with ``prefix``: the
+        prefix with its last non-0xff byte incremented (None = unbounded)."""
+        p = bytearray(prefix)
+        while p and p[-1] == 0xFF:
+            p.pop()
+        if not p:
+            return None
+        p[-1] += 1
+        return bytes(p)
+
     def keys(self, prefix: bytes = b"", *, filter_expired: bool = True
              ) -> List[bytes]:
-        ks = [k for k in self._keys_sorted() if k.startswith(prefix)]
-        if filter_expired:
-            now = time.time_ns()
-            with self._mu:
-                ks = [k for k in ks
-                      if k in self._index and self._index[k].live(now)]
+        with self._mu:
+            if prefix:
+                end = self._prefix_end(prefix)
+                ks = self._sorted.range_list(start=prefix, end=end)
+                # range_list's end bound is inclusive and the bound itself
+                # never carries the prefix — drop an exact match
+                if ks and end is not None and ks[-1] == end:
+                    ks.pop()
+            else:
+                ks = list(self._sorted)
+            if filter_expired:
+                now = time.time_ns()
+                idx = self._index
+                ks = [k for k in ks if k in idx and idx[k].live(now)]
         return ks
 
     # -- watch (watch.go buffered event queue) ---------------------------------
@@ -430,38 +494,80 @@ class KV:
                     pass
 
     # -- compaction (diskv merge.go) ---------------------------------------------
+    _MERGE_CHUNK = 1024
+
     def merge(self) -> None:
-        """Rewrite live records into fresh segments, drop the old ones."""
-        with self._mu:
-            old_segments = self._wal.segments()
-            # expired records are dropped here (merge.go:138); live TTLs are
-            # carried through the rewrite
-            live = [
-                (k, self.get(k), self._index[k].expire)
-                for k in self._keys_sorted()
-                if self._index[k].live()
-            ]
-            live = [(k, v, e) for k, v, e in live if v is not None]
-            self._wal._rotate()
-            boundary = self._wal._active_id
-            new_index: Dict[bytes, _Entry] = {}
-            if live:
-                self._batch_seq += 1
-                bid = self._batch_seq
-                payloads = [
-                    _encode_record(REC_PUT, bid, k, v, e) for k, v, e in live
-                ]
-                payloads.append(_encode_record(REC_BATCH_FINISH, bid, b"", b""))
-                positions = self._wal.write_batch(payloads)
-                for (k, _, e), pos in zip(live, positions[:-1]):
-                    new_index[k] = _Entry(pos, e)
-            self._index = new_index
-            self._sorted_dirty = True
-            self._wal.remove_segments([s for s in old_segments if s < boundary])
-            self._writes_since_merge = 0
+        """Non-blocking compaction: rewrite live records into fresh
+        segments while writers proceed, then drop the old ones.
+
+        Matches the reference's concurrent merge (merge.go:40-221 rewrites
+        into a merge-directory DB while the main DB serves, then swaps
+        segments). Here the lock is held only to (a) rotate + snapshot the
+        key list, (b) rewrite one ~1k-record chunk (the same cost a normal
+        batch commit pays), and (c) retire the old segments. Correctness
+        against concurrent writers:
+
+        - rotation freezes everything below ``boundary``; values are read
+          back OUTSIDE the lock from those immutable segments;
+        - each index update is position-checked (``index[k] is ent``) so an
+          overwrite or delete that landed mid-merge wins in memory;
+        - rewrites carry their record's ORIGINAL batch id (REC_MERGE_PUT),
+          so replay resolves interleavings by max batch id (see _replay);
+        - expired records are dropped (merge.go:138), including their index
+          entries, so no entry outlives its retired segment;
+        - readers racing the final retire re-check the index (get() retry).
+        """
+        if not self._merge_mu.acquire(blocking=False):
+            return  # compaction already running (auto-merge + manual overlap)
+        try:
+            with self._mu:
+                old_segments = self._wal.segments()
+                self._wal._rotate()
+                boundary = self._wal._active_id
+                snapshot = list(self._sorted)
+
+            for i in range(0, len(snapshot), self._MERGE_CHUNK):
+                chunk = snapshot[i:i + self._MERGE_CHUNK]
+                with self._mu:
+                    now = time.time_ns()
+                    rewrite: List[Tuple[bytes, _Entry]] = []
+                    for k in chunk:
+                        ent = self._index.get(k)
+                        if ent is None or ent.pos.segment_id >= boundary:
+                            continue  # deleted / rewritten by a concurrent writer
+                        if not ent.live(now):
+                            del self._index[k]
+                            self._sorted.discard(k)
+                            continue
+                        rewrite.append((k, ent))
+                if not rewrite:
+                    continue
+                # read the frozen segments without the lock
+                datas = []
+                for k, ent in rewrite:
+                    _, obid, _, value, expire = _decode_record(
+                        self._wal.read(ent.pos)
+                    )
+                    datas.append(
+                        (k, ent, expire,
+                         _encode_record(REC_MERGE_PUT, obid, k, value, expire))
+                    )
+                with self._mu:
+                    positions = self._wal.write_batch([d[3] for d in datas])
+                    for (k, ent, expire, _), pos in zip(datas, positions):
+                        if self._index.get(k) is ent:  # unchanged since pass 1
+                            self._index[k] = _Entry(pos, expire)
+
+            with self._mu:
+                self._wal.remove_segments(
+                    [s for s in old_segments if s < boundary]
+                )
+                self._writes_since_merge = 0
             # hint AFTER the segment swap so a crash in between leaves a
             # stale hint that _load_hint discards (full replay, still safe)
             self.write_hint()
+        finally:
+            self._merge_mu.release()
 
     def _auto_merge_loop(self) -> None:
         """Scheduled compaction (diskv options.go:55-62 AutoMergeCronExpr /

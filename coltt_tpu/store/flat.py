@@ -133,13 +133,14 @@ _CACHE_TRANSIENT_BYTES = 800 << 20
 
 
 @partial(jax.jit, static_argnames=("block",))
-def _pq_cache_rows(pqcodes, centroids, *, block: int):
-    """Reconstruct PQ rows and re-quantize them into f8 scan-cache form.
-    One dispatch; ``lax.map`` over row blocks. N % block == 0."""
+def _pq_cache_rows(pqcodes, centroids, coarse=None, *, block: int):
+    """Reconstruct PQ rows (residual-aware when ``coarse`` is set) and
+    re-quantize them into f8 scan-cache form. One dispatch; ``lax.map``
+    over row blocks. N % block == 0."""
     n = pqcodes.shape[0]
 
     def body(cb):
-        rec = pq_reconstruct(cb, PQCodebook(centroids))
+        rec = pq_reconstruct(cb, PQCodebook(centroids, None, coarse))
         codes, scale = quantize(rec, Quantization.F8)
         deq = dequantize(codes, scale)
         return codes, scale, jnp.sum(deq * deq, axis=1)
@@ -175,14 +176,15 @@ def _gather_search(codes, scale, sqnorm, valid, cand, cand_valid, queries, *, k,
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "compute_dtype"))
-def _gather_search_pq(codes, centroids, rotation, sqnorm, valid, cand,
+def _gather_search_pq(codes, centroids, rotation, coarse, sqnorm, valid, cand,
                       cand_valid, queries, *, k, metric, compute_dtype):
     """PQ variant of the gather regime: gather code rows, ADC-scan the tile."""
     g_codes = jnp.take(codes, cand, axis=0)
     g_sqnorm = jnp.take(sqnorm, cand, axis=0)
     g_valid = jnp.take(valid, cand, axis=0) & cand_valid
     scores, local = pq_scan_topk(
-        queries, g_codes, PQCodebook(centroids, rotation), g_sqnorm, g_valid,
+        queries, g_codes, PQCodebook(centroids, rotation, coarse),
+        g_sqnorm, g_valid,
         k=k, metric=metric, compute_dtype=compute_dtype,
     )
     return scores, jnp.take(cand, local)
@@ -206,6 +208,9 @@ class FlatStore:
         pq_train_iters: int = 15,
         pq_cache: bool = True,
         pq_opq_iters: int = 0,  # >0: OPQ rotation (ops/pq.py PQCodebook doc)
+        pq_coarse: int = 0,     # >0: residual mode — whole-vector coarse
+        # quantizer of that many centroids; codes carry a 2-byte cid
+        # prefix (ops/pq.py module doc). The big recall lever at 10M.
         bq_rerank: bool = True,
         bq_oversample: int = 64,
         bq_rerank_dtype=Quantization.BF16,
@@ -257,8 +262,11 @@ class FlatStore:
             self.pq_centroids = int(pq_centroids)
             self.pq_train_iters = int(pq_train_iters)
             self.pq_opq_iters = int(pq_opq_iters)
+            self.pq_coarse = int(pq_coarse)
+            # residual codes carry the uint16 coarse id as a 2-byte prefix
+            self.pq_width = self.pq_m + (2 if self.pq_coarse else 0)
             self.codebook: Optional[PQCodebook] = None
-            self._row_width = self.pq_m
+            self._row_width = self.pq_width
         elif self.is_bq:
             self._qdtype = jnp.uint32
             self._row_width = bq_words(self.dim)
@@ -302,7 +310,7 @@ class FlatStore:
         width, dtype = self._scan_shape
         self.codes = self._put(jnp.zeros((cap, width), dtype))
         self.pqcodes = (
-            self._put(jnp.zeros((cap, self.pq_m), jnp.uint8))
+            self._put(jnp.zeros((cap, self.pq_width), jnp.uint8))
             if self.pq_cache
             else None
         )
@@ -331,7 +339,7 @@ class FlatStore:
         if self.pq_cache:
             self.pqcodes = self._put(
                 jnp.concatenate(
-                    [self.pqcodes, jnp.zeros((pad, self.pq_m), jnp.uint8)]
+                    [self.pqcodes, jnp.zeros((pad, self.pq_width), jnp.uint8)]
                 )
             )
         if self.bq_rerank:
@@ -429,6 +437,7 @@ class FlatStore:
                 self.codebook = train_pq(
                     vectors, m=self.pq_m, n_centroids=self.pq_centroids,
                     iters=self.pq_train_iters, opq_iters=self.pq_opq_iters,
+                    coarse_centroids=self.pq_coarse,
                 )
             # pad to capacity FIRST so encode/cache blocks divide evenly
             # (cap is a power-of-two multiple of the quantum); padding rows
@@ -438,7 +447,7 @@ class FlatStore:
             if self.pq_cache:
                 self.pqcodes = self._put(u_pq)
                 codes, scale, sqnorm = _pq_cache_rows(
-                    u_pq, self.codebook.centroids,
+                    u_pq, self.codebook.centroids, self.codebook.coarse,
                     block=_cache_block_for(cap, self.pq_m),
                 )
             else:
@@ -519,9 +528,10 @@ class FlatStore:
                     n_centroids=self.pq_centroids,
                     iters=self.pq_train_iters,
                     opq_iters=self.pq_opq_iters,
+                    coarse_centroids=self.pq_coarse,
                 )
             if self.codebook is None:  # all-deletes batch before any data
-                u_pq = jnp.zeros((len(slots), self.pq_m), jnp.uint8)
+                u_pq = jnp.zeros((len(slots), self.pq_width), jnp.uint8)
                 u_lut_sqnorm = jnp.zeros((len(slots),), jnp.float32)
             else:
                 u_pq, u_lut_sqnorm = pq_encode(jnp.asarray(rows), self.codebook)
@@ -532,7 +542,7 @@ class FlatStore:
                     u_sqnorm = u_lut_sqnorm
                 else:
                     u_codes, u_scale, u_sqnorm = _pq_cache_rows(
-                        u_pq, self.codebook.centroids,
+                        u_pq, self.codebook.centroids, self.codebook.coarse,
                         block=_cache_block_for(u_pq.shape[0], self.pq_m),
                     )
                 self.pqcodes = _apply_pq_codes(
@@ -711,7 +721,7 @@ class FlatStore:
             negd, slots = pq_rerank_neg_topk(
                 jnp.asarray(queries), negd, slots, self.pqcodes,
                 self.codebook.centroids, k=min(k, self.capacity),
-                metric=metric,
+                metric=metric, coarse=self.codebook.coarse,
             )
             scores = jnp.where(
                 jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric)
@@ -798,7 +808,7 @@ class FlatStore:
                 )
             scores, slots = _gather_search_pq(
                 self.codes, self.codebook.centroids, self.codebook.rotation,
-                self.sqnorm, self.valid,
+                self.codebook.coarse, self.sqnorm, self.valid,
                 jnp.asarray(cand), jnp.asarray(cand_valid), jnp.asarray(queries),
                 k=min(k, padded), metric=metric, compute_dtype=self.compute_dtype,
             )
@@ -858,6 +868,7 @@ class FlatStore:
                 "centroids": self.pq_centroids,
                 "train_iters": self.pq_train_iters,
                 "opq_iters": self.pq_opq_iters,
+                "coarse": self.pq_coarse,
                 "cache": self.pq_cache,
                 "codebook": cb.getvalue(),
             }
@@ -900,6 +911,7 @@ class FlatStore:
             pq_centroids=pq["centroids"] if pq else 256,
             pq_train_iters=pq["train_iters"] if pq else 15,
             pq_opq_iters=pq.get("opq_iters", 0) if pq else 0,
+            pq_coarse=pq.get("coarse", 0) if pq else 0,
             pq_cache=pq_cache,
             bq_rerank=bq.get("rerank", True) if bq else True,
             bq_oversample=bq.get("oversample", 64) if bq else 64,
@@ -953,7 +965,7 @@ class FlatStore:
         if self.codebook is None:
             return
         codes, scale, sqnorm = _pq_cache_rows(
-            self.pqcodes, self.codebook.centroids,
+            self.pqcodes, self.codebook.centroids, self.codebook.coarse,
             block=_cache_block_for(self.capacity, self.pq_m),
         )
         self.codes = self._put(codes)

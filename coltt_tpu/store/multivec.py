@@ -43,15 +43,32 @@ def _cflat_topk(field_state, queries, ratios, valid, *, k, metric, compute_dtype
     field_state: tuple of (codes [N,Df], scale [N,1], sqnorm [N]) per field;
     queries: tuple of [Df] f32; ratios: tuple of scalar f32 (already /100).
     """
+    vals, idx = _cflat_topk_batch(
+        field_state, tuple(q[None, :] for q in queries), ratios, valid,
+        k=k, metric=metric, compute_dtype=compute_dtype,
+    )
+    return vals[0], idx[0]
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "compute_dtype"))
+def _cflat_topk_batch(field_state, queries, ratios, valid, *, k, metric,
+                      compute_dtype):
+    """Batch-native CFLAT: queries is a tuple of [Q, Df] blocks (parallel to
+    field_state). One matmul per field scores all Q queries against all rows;
+    the weighted sum and a single top-k finish. Returns ([Q, k], [Q, k]).
+
+    The per-field scans are the same MXU contraction the single-query path
+    uses — batching queries is where the MXU utilization comes from, exactly
+    as in the FLAT serving path (SearchBatch; VERDICT r2 item 6)."""
     total = None
     for (codes, scale, sqnorm), q, r in zip(field_state, queries, ratios):
         dist = scan_distances(
-            q[None, :], codes, scale, sqnorm, None,
+            q, codes, scale, sqnorm, None,
             metric=metric, compute_dtype=compute_dtype,
-        )[0]  # [N]
+        )  # [Q, N]
         contrib = normalize_score(dist, metric) * r
         total = contrib if total is None else total + contrib
-    total = jnp.where(valid, total, -jnp.inf)
+    total = jnp.where(valid.reshape(1, -1), total, -jnp.inf)
     vals, idx = jax.lax.top_k(total, k)
     return vals, idx.astype(jnp.int32)
 
@@ -229,6 +246,50 @@ class MultiVectorStore:
         )
         kk = min(max(1, int(k)), self.capacity)
         vals, idx = _cflat_topk(
+            field_state, tuple(queries), tuple(ratios), self.valid,
+            k=kk, metric=self.metric, compute_dtype=self.compute_dtype,
+        )
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        idx = np.where(np.isneginf(vals), -1, idx)
+        return vals, idx
+
+    def search_batch(
+        self,
+        query_fields: Sequence[Tuple[str, np.ndarray, float]],
+        k: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batch-native CFLAT search: each entry is (field, [Q, Df] query
+        block, ratio%) for the *included* fields; every block must share the
+        same Q. One device dispatch scores the whole batch (the per-field
+        matmul is ~flat in Q until the MXU saturates). Returns
+        (scores [Q, k], slots [Q, k]) with -1 slots on dead rows."""
+        if not query_fields:
+            raise ValueError("at least one included query vector block required")
+        self.sync()
+        names, queries, ratios = [], [], []
+        nq = None
+        for name, block, ratio in query_fields:
+            if name not in self.fields:
+                raise ValueError(f"unknown vector field {name!r}")
+            block = np.asarray(block, np.float32)
+            if block.ndim != 2 or block.shape[1] != self.fields[name]:
+                raise ValueError(
+                    f"field {name!r}: query block {block.shape} != "
+                    f"[Q, {self.fields[name]}]"
+                )
+            if nq is None:
+                nq = block.shape[0]
+            elif block.shape[0] != nq:
+                raise ValueError("all query blocks must share the same Q")
+            names.append(name)
+            queries.append(jnp.asarray(block))
+            ratios.append(jnp.float32(float(ratio) / 100.0))
+
+        field_state = tuple(
+            (self.codes[n], self.scale[n], self.sqnorm[n]) for n in names
+        )
+        kk = min(max(1, int(k)), self.capacity)
+        vals, idx = _cflat_topk_batch(
             field_state, tuple(queries), tuple(ratios), self.valid,
             k=kk, metric=self.metric, compute_dtype=self.compute_dtype,
         )

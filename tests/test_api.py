@@ -184,6 +184,59 @@ def test_experimental_full_flow(exp, rng):
     exp.delete_collection("mv")
 
 
+def test_experimental_search_batch_rpc(exp, rng):
+    """VectorSearchBatch through real gRPC must agree with Q single
+    VectorSearch calls (same ranking key), columnar response contract."""
+    schema = CollectionSchema(
+        name="mvb", dim=DIM,
+        fields=[
+            FieldSchema("a_vec", FieldType.VECTOR),
+            FieldSchema("b_vec", FieldType.VECTOR),
+            FieldSchema("lang", FieldType.STRING, enable_null=True),
+        ],
+    )
+    exp.create_collection(schema)
+    a = rng.standard_normal((30, DIM), dtype=np.float32)
+    b = rng.standard_normal((30, DIM), dtype=np.float32)
+    exp.bulk_index(
+        "mvb", [f"r{i}" for i in range(30)],
+        {"a_vec": a, "b_vec": b},
+        [{"lang": ["ko", "en"][i % 2]} for i in range(30)],
+    )
+    nq = 6
+    counts, scores, ids, mds = exp.vector_search_batch(
+        "mvb",
+        [("a_vec", a[:nq], True, 60), ("b_vec", b[:nq], True, 40)],
+        top_k=3, include_metadata=True,
+    )
+    assert len(counts) == nq and sum(counts) == len(ids) == len(scores)
+    assert mds is not None and len(mds) == len(ids)
+    off = 0
+    for q in range(nq):
+        single = exp.vector_search(
+            "mvb",
+            [("a_vec", a[q], True, 60), ("b_vec", b[q], True, 40)],
+            top_k=3,
+        )
+        got = ids[off:off + counts[q]]
+        assert got == [h["id"] for h in single]
+        assert got[0] == f"r{q}"  # self-match wins at 60/40 weights
+        np.testing.assert_allclose(
+            scores[off:off + counts[q]],
+            [h["score"] for h in single], rtol=1e-5,
+        )
+        assert mds[off]["lang"] == ["ko", "en"][q % 2]
+        off += counts[q]
+    # excluded block is dropped server-side
+    counts2, _, ids2, _ = exp.vector_search_batch(
+        "mvb",
+        [("a_vec", a[:2], True, 100), ("b_vec", b[3:5], False, 0)],
+        top_k=1,
+    )
+    assert ids2[:1] == ["r0"] and counts2 == [1, 1]
+    exp.delete_collection("mvb")
+
+
 def test_edge_search_batch_rpc(edge, rng):
     edge.create_collection(_edge_schema())
     vecs = rng.standard_normal((64, DIM), dtype=np.float32)

@@ -197,6 +197,70 @@ def test_bulk_build_requires_empty():
     idx.insert(np.ones(8, np.float32))
     with pytest.raises(RuntimeError):
         idx.bulk_build(np.ones((4, 8), np.float32))
+    with pytest.raises(RuntimeError):
+        idx.bulk_build_clustered(np.ones((4, 8), np.float32))
+
+
+def test_bulk_build_clustered_recall_and_interop():
+    """The MXU-native clustered builder (k-means blocks + heuristic select
+    + spill) must reach the same recall bar as the beam builder and leave
+    a mutable, snapshotable index."""
+    rng = np.random.default_rng(31)
+    n, dim = 4000, 24
+    vecs = rng.standard_normal((n, dim), dtype=np.float32)
+    idx = HnswIndex(
+        dim, metric=Metric.COSINE,
+        config=HnswConfig(m=8, ef_construction=60, algorithm=HEURISTIC),
+        seed=1,
+    )
+    slots = idx.bulk_build_clustered(vecs, cluster_size=512, seed=2)
+    assert list(slots) == list(range(n))
+    assert len(idx) == n
+
+    qs = rng.standard_normal((20, dim), dtype=np.float32)
+    d, ids = idx.search(qs, k=10, ef=80)
+    hits = sum(
+        len(set(_brute_topk(vecs, qs[i], 10)) & {int(x) for x in ids[i] if x >= 0})
+        for i in range(20)
+    )
+    assert hits / 200 >= 0.9, f"clustered recall@10 {hits/200}"
+
+    # post-bulk mutation still works
+    extra = rng.standard_normal(dim).astype(np.float32)
+    s = idx.insert(extra)
+    d, ids = idx.search(extra, k=1, ef=32)
+    assert ids[0, 0] == s
+    assert idx.remove(s)
+
+    # snapshot roundtrip preserves the graph
+    buf = io.BytesIO()
+    idx.save(buf)
+    buf.seek(0)
+    idx2 = HnswIndex.load(buf)
+    d1, i1 = idx.search(qs[:3], k=5)
+    d2, i2 = idx2.search(qs[:3], k=5)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_bulk_build_clustered_euclidean_small():
+    """Small corpus takes the single-dense-block path; euclidean metric."""
+    rng = np.random.default_rng(37)
+    n, dim = 700, 16
+    vecs = rng.standard_normal((n, dim), dtype=np.float32)
+    idx = HnswIndex(
+        dim, metric=Metric.EUCLIDEAN,
+        config=HnswConfig(m=6, ef_construction=40, algorithm=HEURISTIC),
+        seed=3,
+    )
+    idx.bulk_build_clustered(vecs, seed=4)
+    qs = rng.standard_normal((10, dim), dtype=np.float32)
+    d, ids = idx.search(qs, k=10, ef=60)
+    hits = sum(
+        len(set(_brute_topk(vecs, qs[i], 10, metric=Metric.EUCLIDEAN))
+            & {int(x) for x in ids[i] if x >= 0})
+        for i in range(10)
+    )
+    assert hits / 100 >= 0.85, f"clustered euclidean recall@10 {hits/100}"
 
 
 def test_bulk_build_bf16_device_graph():

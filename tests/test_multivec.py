@@ -57,6 +57,38 @@ def test_excluded_field_is_omitted(rng):
     assert store.slot_to_pk[int(slots[0])] == "pk3"
 
 
+def test_search_batch_matches_single(rng):
+    """Batch-native CFLAT (search_batch) must rank identically to Q single
+    searches — same weighted-sum key, one device dispatch."""
+    store, data = _mk(rng, n=50)
+    nq = 7
+    qt = rng.standard_normal((nq, 16), dtype=np.float32)
+    qb = rng.standard_normal((nq, 32), dtype=np.float32)
+    bs, bslots = store.search_batch(
+        [("title", qt, 60.0), ("body", qb, 40.0)], k=4
+    )
+    assert bs.shape == (nq, 4) and bslots.shape == (nq, 4)
+    for q in range(nq):
+        ss, sslots = store.search(
+            [("title", qt[q], 60.0), ("body", qb[q], 40.0)], k=4
+        )
+        np.testing.assert_array_equal(bslots[q], sslots)
+        np.testing.assert_allclose(bs[q], ss, rtol=1e-5)
+
+
+def test_search_batch_validation(rng):
+    store, _ = _mk(rng, n=10)
+    with pytest.raises(ValueError, match="same Q"):
+        store.search_batch(
+            [("title", np.zeros((2, 16), np.float32), 50.0),
+             ("body", np.zeros((3, 32), np.float32), 50.0)], k=2
+        )
+    with pytest.raises(ValueError, match="query block"):
+        store.search_batch([("title", np.zeros((16,), np.float32), 100.0)], k=2)
+    with pytest.raises(ValueError, match="unknown"):
+        store.search_batch([("nope", np.zeros((2, 16), np.float32), 100.0)], k=2)
+
+
 def test_upsert_delete(rng):
     store, data = _mk(rng, n=10)
     assert len(store) == 10

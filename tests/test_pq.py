@@ -58,6 +58,107 @@ def test_train_reduces_reconstruction_error(rng):
     assert err < 0.5 * err_r, f"trained {err} vs random {err_r}"
 
 
+def test_residual_mode_beats_plain_pq(rng):
+    """coarse+PQ (residual) reconstruction error must land well below
+    plain PQ at the same code budget on cluster-structured data — the
+    coarse table absorbs the cluster term, the codes encode only the
+    residual."""
+    x = _clustered(rng, 6144, 64, n_clusters=48, spread=0.15)
+    plain = train_pq(x, m=8, n_centroids=64, iters=10,
+                     key=jax.random.PRNGKey(1))
+    resid = train_pq(x, m=8, n_centroids=64, iters=10,
+                     key=jax.random.PRNGKey(1),
+                     coarse_centroids=64, coarse_iters=8)
+    assert resid.coarse is not None and resid.code_width == 10
+
+    c_p, sq_p = pq_encode(x, plain)
+    c_r, sq_r = pq_encode(x, resid)
+    assert c_p.shape == (6144, 8) and c_r.shape == (6144, 10)
+    rec_p = np.asarray(pq_reconstruct(c_p, plain))
+    rec_r = np.asarray(pq_reconstruct(c_r, resid))
+    err_p = np.mean(np.sum((rec_p - x) ** 2, axis=1))
+    err_r = np.mean(np.sum((rec_r - x) ** 2, axis=1))
+    assert err_r < 0.5 * err_p, f"residual {err_r} vs plain {err_p}"
+    # sqnorm contract holds in residual mode too (blocked reconstruct path)
+    np.testing.assert_allclose(
+        np.asarray(sq_r), np.sum(rec_r * rec_r, axis=1), rtol=1e-4
+    )
+
+
+def test_residual_scan_rerank_and_roundtrip(rng):
+    """Residual codes flow through ADC scan, the exact-reconstruction
+    rerank, pq_sqnorm, and codebook save/load."""
+    from coltt_tpu.ops.pq import (
+        pq_rerank_neg_topk, pq_scan_neg_topk, pq_sqnorm,
+    )
+
+    n, dim, k = 4096, 64, 10
+    x = _clustered(rng, n, dim, n_clusters=48)
+    q = _clustered(rng, 8, dim, n_clusters=48)
+    cb = train_pq(x, m=8, n_centroids=64, iters=10,
+                  key=jax.random.PRNGKey(3), opq_iters=2,
+                  coarse_centroids=64)
+    codes, sqn = pq_encode(x, cb)
+    sqn2 = pq_sqnorm(codes, cb)
+    np.testing.assert_allclose(np.asarray(sqn), np.asarray(sqn2), rtol=1e-4)
+
+    valid = jnp.ones(n, bool)
+    negd, ids = pq_scan_neg_topk(
+        jnp.asarray(q), codes, cb.centroids, sqn, valid, k=4 * k,
+        metric=Metric.COSINE, rotation=cb.rotation, coarse=cb.coarse,
+    )
+    rneg, rids = pq_rerank_neg_topk(
+        jnp.asarray(q), negd, ids, codes, cb.centroids, k=k,
+        metric=Metric.COSINE, rotation=cb.rotation, coarse=cb.coarse,
+    )
+    rids = np.asarray(rids)
+    # the scan must track the reconstruction's own cosine ranking (the
+    # machinery contract; absolute recall vs fp32 is a data/bit-budget
+    # property benchmarked at scale in bench_pq.py, not asserted here)
+    rec = np.asarray(pq_reconstruct(codes, cb))
+    qr = np.asarray(jnp.asarray(q) @ cb.rotation)
+    cos = (qr @ rec.T) / (
+        np.linalg.norm(qr, axis=1, keepdims=True)
+        * np.maximum(np.linalg.norm(rec, axis=1), 1e-30)
+    )
+    manual = np.argsort(-cos, axis=1)[:, :k]
+    agree = np.mean(
+        [len(set(rids[i]) & set(manual[i])) / k for i in range(8)]
+    )
+    assert agree >= 0.85, f"scan/rerank vs manual reconstruction {agree}"
+
+    # and the residual codes must RANK better against fp32 truth than
+    # plain PQ at the same subspace budget (the mode's reason to exist)
+    sqx = jnp.sum(jnp.asarray(x) ** 2, axis=1)
+    _, gt = scan_topk(jnp.asarray(q), jnp.asarray(x), None, sqx, valid, k=k)
+    gt = np.asarray(gt)
+
+    plain = train_pq(x, m=8, n_centroids=64, iters=10,
+                     key=jax.random.PRNGKey(3), opq_iters=2)
+    pcodes, psqn = pq_encode(x, plain)
+    _, pids = pq_scan_neg_topk(
+        jnp.asarray(q), pcodes, plain.centroids, psqn, valid, k=k,
+        metric=Metric.COSINE, rotation=plain.rotation,
+    )
+    pids = np.asarray(pids)
+
+    def recall(found):
+        return np.mean([len(set(gt[i]) & set(found[i])) / k for i in range(8)])
+
+    assert recall(rids[:, :k]) >= recall(pids), (
+        f"residual {recall(rids[:, :k])} < plain {recall(pids)}"
+    )
+
+    buf = io.BytesIO()
+    cb.save(buf)
+    buf.seek(0)
+    cb2 = PQCodebook.load(buf)
+    assert cb2.coarse is not None
+    np.testing.assert_array_equal(np.asarray(cb.coarse), np.asarray(cb2.coarse))
+    codes2, _ = pq_encode(x[:64], cb2)
+    np.testing.assert_array_equal(np.asarray(codes[:64]), np.asarray(codes2))
+
+
 def test_encode_sqnorm_matches_reconstruction(rng):
     x = rng.standard_normal((512, 32)).astype(np.float32)
     cb = train_pq(x, m=4, n_centroids=16, iters=5)
@@ -245,6 +346,47 @@ def test_flat_store_pq_opq_search_and_snapshot(rng, tmp_path):
     # get_vector readback is in original coordinates
     rec = store2.get_vector("p5")
     assert np.mean((rec - vecs[5]) ** 2) < np.mean(vecs[5] ** 2)
+
+
+def test_flat_store_pq_coarse_residual(rng, tmp_path):
+    """FlatStore PQ mode with pq_coarse (residual): search works through
+    the f8 cache + reconstruction rerank, snapshot roundtrips the wider
+    codes + coarse table, and filtered search takes the residual-aware
+    gather path."""
+    from coltt_tpu.store.flat import FlatStore
+
+    n, dim = 512, 32
+    x = _clustered(rng, n, dim, n_clusters=16, spread=0.1)
+    store = FlatStore(
+        dim, quantization="pq", pq_subspaces=4, pq_centroids=64,
+        pq_coarse=16, pq_opq_iters=2,
+    )
+    assert store.pq_width == 6  # 2-byte cid prefix + 4 subspace codes
+    store.upsert_many([f"p{i}" for i in range(n)], x)
+    store.sync()
+    assert store.codebook is not None and store.codebook.coarse is not None
+
+    scores, slots = store.search(x[:4], k=3, oversample=4)
+    assert all(store.slot_to_pk[int(slots[i, 0])] == f"p{i}" for i in range(4))
+
+    # filtered (gather regime) search
+    cand = np.arange(0, 64, dtype=np.int32)
+    s2, sl2 = store.search(x[1], k=1, candidates=cand)
+    assert store.slot_to_pk[int(sl2[0, 0])] == "p1"
+
+    # vector readback reconstructs through coarse + residual
+    v = store.get_vector("p7")
+    cos = float(v @ x[7] / (np.linalg.norm(v) * np.linalg.norm(x[7])))
+    assert cos > 0.97, cos
+
+    import io as _io
+    buf = _io.BytesIO()
+    store.save(buf)
+    buf.seek(0)
+    st2 = FlatStore.load(buf)
+    assert st2.pq_coarse == 16 and st2.codebook.coarse is not None
+    s3, sl3 = st2.search(x[:4], k=3, oversample=4)
+    np.testing.assert_array_equal(slots, sl3)
 
 
 def test_pq_cache_oversample_rerank(rng):

@@ -126,8 +126,9 @@ def test_fused_zero_dot_winners_keep_ids(rng):
     """Regression (ADVICE r1): bin winners with score exactly 0.0 used to
     pack to f32 *denormals* whose only set bits were the slice index —
     TPU flush-to-zero would erase them and fabricate row ids. The packing
-    now lives in int32 monotone-key space; ids must survive a corpus where
-    every winner's score is exactly 0.0 (orthogonal rows) and every other
+    now biases every valid score up to ~bias magnitude (never denormal)
+    and reduces in int32 lanes; ids must survive a corpus where every
+    winner's raw score is exactly 0.0 (orthogonal rows) and every other
     row scores negative."""
     n, d = 2048, 128
     q = np.zeros((1, d), np.float32)
@@ -151,13 +152,14 @@ def test_fused_zero_dot_winners_keep_ids(rng):
 
 def test_fused_approx_bitcast_matches_exact(rng):
     """The final="approx" leg selects over the int32 monotone keys through
-    a bitcast f32 *view* (unfold the sign-fold, bitcast — float order ==
-    int order, all 32 bits preserved). On CPU ApproxTopK lowers to an
-    exact selection, so approx and exact must return IDENTICAL ids and
-    scores — including negative scores (negative keys exercise the unfold)
-    and tombstoned rows (penalty keys). The r02 regression this replaces
-    value-converted the keys to f32, losing the low ~8 bits (recall -0.005
-    at 1M x 768, BENCH_r01 vs BENCH_r02)."""
+    a bitcast f32 *view* (valid keys are bit patterns of normal positive
+    floats thanks to the score bias — float order == int order, all 32
+    bits preserved). On CPU ApproxTopK lowers to an exact selection, so
+    approx and exact must return IDENTICAL ids and scores — including
+    negative raw scores (biased positive before packing) and tombstoned
+    rows (penalty keys, which stay negative). The r02 regression this
+    replaces value-converted the keys to f32, losing the low ~8 bits
+    (recall -0.005 at 1M x 768, BENCH_r01 vs BENCH_r02)."""
     from coltt_tpu.ops.scan_pallas import fused_scan_neg_topk
 
     n, d = 8192, 128
