@@ -64,7 +64,9 @@ def main():
     # 10 x 2^20 rows: block-aligned for the auto-blocked scan (stores allocate
     # in 8192-row quanta; the bench mirrors that)
     n_total, d, k = 10 * (1 << 20), 768, 10
-    chunk_n = 1 << 19  # 0.5M-row transients: M=192 state peaks ~12 GB
+    chunk_n = 1 << 18  # 0.25M-row transients: the residual mode's extra
+    # per-chunk arrays (rotated copy + residual + recon-sqnorm blocks) OOM'd
+    # 16 GB HBM at 1<<19 next to the ~10 GB steady state
     batch = 512
     depth = 8
     n_eval = 64
@@ -78,10 +80,22 @@ def main():
     # 5's recall>=0.85 bar at 10M). ``--plain`` reruns the r1/r2
     # plain-OPQ dsub=4 configuration for comparison.
     plain = "--plain" in sys.argv
+    dsub = 4
+    if "--dsub" in sys.argv:
+        dsub = int(sys.argv[sys.argv.index("--dsub") + 1])
     if plain:
         m, coarse_c = default_subspaces(d, target_dsub=4), 0
     else:
-        m, coarse_c = default_subspaces(d, target_dsub=8), 16384
+        # dsub=4 ON TOP of the coarse quantizer: measured at 10M, coarse +
+        # dsub=8 (98 B/row) lands at recall .73 ~= plain dsub=4's .71 —
+        # same within-cluster ranking fidelity for half the bytes; the
+        # recall>=0.85 bar needs the residual bits doubled (194 B/row)
+        # measured sweep at 10M (recall@10 via the f8-cache+rerank path):
+        #   plain dsub=4 (192 B/row)        .714  (r1/r2 number)
+        #   coarse16384 + dsub=8 (98 B/row) .730  — same fidelity, half bytes
+        #   coarse16384 + dsub=4 (194 B/row) .825
+        #   coarse16384 + dsub=2 (386 B/row) see README (the recall>=0.85 point)
+        m, coarse_c = default_subspaces(d, target_dsub=dsub), 16384
 
     log(f"devices: {jax.devices()}  M={m} coarse={coarse_c}")
     key = jax.random.PRNGKey(0)

@@ -340,17 +340,24 @@ def fused_scan_neg_topk(
     # keys, so no gather of the key matrix.
     #
     # Cost/recall frontier, measured on v5e at 1M x 768 (Q=2048, same
-    # seed, clean host): XLA's sort-backed exact top-40 over the [Q,
-    # 31250] survivors costs ~11 ms — as much as the whole scan — for the
-    # best recall (82.5k QPS @ .9938); single ApproxTopK (reduce to 2048
-    # survivors in 4 halving rounds, sort those) is ~free but its
-    # slot-collisions eliminate true top-10 rows that int8 noise pushed
-    # to shortlist-rank ~40 (146.7k QPS @ .9859). The partitioned form
-    # below splits the bins into independent halves: same total reduction
-    # work, each true candidate competes in half the field for the same
-    # 2048-survivor budget (collision odds drop ~4x: fewer rounds AND
-    # lower in-part rank), and the per-part sorts stay 2048-wide. Only
-    # the merge of 2*kk sorted heads is new — trivial.
+    # seed, clean idle host), selection variants over the [Q, 31250]
+    # survivors — every point below is a real end-to-end bench.py run:
+    #   - single ApproxTopK k=40 (reduce to 2048 survivors in 4 halving
+    #     rounds, sort those): 146.7k QPS @ .9859 — the reduction's
+    #     one-survivor-per-slot collisions eliminate true top-10 rows
+    #     that int8 noise pushed to shortlist-rank ~40;
+    #   - deeper single call (head 160, budget 4096): ~.9891 — halves the
+    #     collision odds, still under the .99 bar;
+    #   - partitioned halves (below): 124.7k @ .9922;
+    #   - exact lax.top_k (XLA full sort): 82.5k @ .9938 — the recall
+    #     ceiling, at ~the cost of the whole scan again.
+    # The partitioned form splits the bins into independent halves (a
+    # free reshape — row-major contiguous): same total reduction work,
+    # each candidate competes in half the field for its own
+    # 2048-survivor budget (collision odds drop ~4x: one fewer halving
+    # round AND half the in-part rank), sorts stay 2048-wide, and the
+    # 2*kk sorted heads merge exactly. Chosen default: the best QPS of
+    # the recall>=0.99 configurations.
     fview = lax.bitcast_convert_type(keys, jnp.float32)
     nb = keys.shape[1]
     parts = 2 if (nb >= 16384 and nb % 2 == 0) else 1
