@@ -11,8 +11,14 @@ surface runs (tests/test_api.py::test_core_bq_collection_via_rpc).
 At 10M a bf16 rerank copy (15 GB) would crowd HBM, so 10M runs rerank-free
 (ranking = the random-hyperplane angle estimate alone — the honest
 memory-minimal configuration); 1M runs both with and without rerank.
-Corpus slabs are generated on device, BQ-encoded, and freed — the f32 form
-never accumulates. Prints ONE JSON line (headline = the 10M row).
+Corpus: the same embedding-like cluster mixture the PQ/HNSW benches use
+(16k centers x sigma 0.35) — on i.i.d. gaussians the top-of-corpus cosine
+spread (~0.05) sits BELOW the 768-bit Hamming angle resolution (~0.06
+rad), so BQ ranking is noise for ANY implementation (measured recall@10
+0.03-0.17); sign sketches need data whose neighbors are actually close in
+angle, which real embeddings are. Corpus slabs are generated on device,
+BQ-encoded, and freed — the f32 form never accumulates. Prints ONE JSON
+line (headline = the 10M row).
 
 Run manually on the TPU:  timeout 5400 python -u bench_bq.py
 """
@@ -53,11 +59,25 @@ def main():
     qspec = NamedSharding(mesh, P(BATCH_AXIS))
     results = {}
 
+    n_centers, sigma = 16384, 0.35
+    centers = jax.random.normal(
+        jax.random.PRNGKey(42), (n_centers, d), jnp.float32
+    )
+
     def slab_key(i):
         return jax.random.fold_in(jax.random.PRNGKey(7), i)
 
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1,))
+    def _mk(k1, asg_rows):
+        ka, kb = jax.random.split(k1)
+        asg = jax.random.randint(ka, (asg_rows,), 0, n_centers)
+        noise = jax.random.normal(kb, (asg_rows, d), jnp.float32)
+        return jnp.take(centers, asg, axis=0) + sigma * noise
+
     def gen_slab(i, rows):
-        return jax.random.normal(slab_key(i), (rows, d), jnp.float32)
+        return _mk(slab_key(i), rows)
 
     for n, use_rerank in ((1_000_000, True), (1_000_000, False),
                           (10_000_000, False)):
@@ -89,10 +109,7 @@ def main():
         kq = jax.random.PRNGKey(1)
         qkeys = jax.random.split(kq, depth + 1)
         q_batches = [
-            np.asarray(jax.device_get(
-                jax.random.normal(qk, (batch, d), jnp.float32)
-            ))
-            for qk in qkeys
+            np.asarray(jax.device_get(_mk(qk, batch))) for qk in qkeys
         ]
 
         t0 = time.perf_counter()

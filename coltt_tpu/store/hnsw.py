@@ -779,23 +779,30 @@ class HnswIndex:
             idx = starts[active][:, None] + offset + np.arange(p)[None, :]
             ok = np.arange(p)[None, :] < cnt_r[:, None]
             extras = np.where(ok, newp[np.minimum(idx, newp.size - 1)], -1)
-            u = len(rows_r)
-            u_pad = 1
-            while u_pad < u:
-                u_pad *= 2
-            if u_pad != u:
-                rows_r = np.concatenate(
-                    [rows_r, np.full(u_pad - u, pad_row, np.int32)]
+            # chunk the rebuild: its [U, W+P, D] candidate gather is the
+            # build's largest transient (a global pass can target ~N rows
+            # at once — 16 GB unchunked at 1M x 128d, an instant HBM OOM)
+            width = int(adj.shape[1])
+            per_row = (width + p) * d_vecs.shape[1] * d_vecs.dtype.itemsize
+            chunk = max(4096, _pow2_ceil((1 << 30) // max(per_row, 1)) // 2)
+            for st in range(0, len(rows_r), chunk):
+                rr = rows_r[st:st + chunk]
+                ee = extras[st:st + chunk]
+                u = len(rr)
+                u_pad = _pow2_ceil(u)
+                if u_pad != u:
+                    rr = np.concatenate(
+                        [rr, np.full(u_pad - u, pad_row, np.int32)]
+                    )
+                    ee = np.concatenate(
+                        [ee, np.full((u_pad - u, p), -1, np.int32)]
+                    )
+                adj = _rebuild_rows(
+                    d_vecs, d_sqn, adj,
+                    jnp.asarray(rr.astype(np.int32)),
+                    jnp.asarray(ee.astype(np.int32)),
+                    metric=self.metric, compute_dtype=compute_dtype,
                 )
-                extras = np.concatenate(
-                    [extras, np.full((u_pad - u, p), -1, np.int32)]
-                )
-            adj = _rebuild_rows(
-                d_vecs, d_sqn, adj,
-                jnp.asarray(rows_r.astype(np.int32)),
-                jnp.asarray(extras.astype(np.int32)),
-                metric=self.metric, compute_dtype=compute_dtype,
-            )
             offset += p
         return adj
 
@@ -977,17 +984,15 @@ class HnswIndex:
         return np.arange(n, dtype=np.int32)
 
     # -- clustered bulk construction (ingest-rate path) ----------------------
-    BULK_CLUSTERED_MIN = 50_000
-
     def bulk_build_auto(self, vectors: np.ndarray, **kw) -> np.ndarray:
-        """Builder policy for engine ingest: the clustered MXU path at
-        ingest scale (its fixed costs — k-means, a handful of compiles —
-        amortize and the per-row cost is ~10x below the beam builder's
-        gather bound), the beam builder below that (slightly better tail
-        quality, no partition overhead)."""
-        n = np.asarray(vectors).shape[0]
-        if n >= self.BULK_CLUSTERED_MIN:
-            return self.bulk_build_clustered(vectors, **kw)
+        """Builder policy for engine ingest: the beam builder — measured
+        at 1M x 128d it holds recall@10 .945 where the clustered builder's
+        partition-local candidates plateau at ~.80 (3.5x the ingest rate:
+        2,878 vs ~810 rows/s). A database default must not trade 15 recall
+        points silently; callers that want ingest rate over graph quality
+        opt into ``bulk_build_clustered`` explicitly (bench_hnsw.py has
+        both sides of the trade)."""
+        del kw
         return self.bulk_build(vectors)
 
     def bulk_build_clustered(
@@ -1027,11 +1032,15 @@ class HnswIndex:
         hierarchy restores global navigability exactly as in the
         sequential algorithm.
 
-        Trade-off vs ``bulk_build``: candidates come from the partition
-        geometry rather than graph traversal, so quality leans on the
-        heuristic + spill + hierarchy; measured recall@10 on clustered
-        corpora is within a point of the beam builder at >10x the ingest
-        rate (bench_hnsw.py). Sequential-parity construction remains
+        Trade-off vs ``bulk_build``, measured at 1M x 128d (bench_hnsw.py,
+        16k-center corpus): 2,878 rows/s vs ~810 (3.5x; the reference's
+        one-by-one path is ~1.7k/s), but recall@10 at ef=128 is ~.80 vs
+        the beam builder's .945 — partition-local candidate lists miss
+        long-range edges the beam search discovers, and at this scale the
+        spill + hierarchy only partly compensate (small corpora in the
+        test suite reach .9+). This is the fast-ingest option, chosen
+        explicitly; engine ingest defaults to the beam builder
+        (``bulk_build_auto``). Sequential-parity construction remains
         ``insert``/``bulk_build``. Returns slots 0..N-1 in input order.
         """
         if self._count != 0 or self._next != 0:
