@@ -117,6 +117,14 @@ def main() -> None:
     servicer = build_servicer(cfg.mode, cfg)
     server = create_server(servicer, cfg)
     server.start()
+    # freeze the boot-time object graph out of the cyclic GC: gen-2
+    # collections over a loaded engine (100k+ index entries) measured
+    # 100-175 ms pauses that land on request latencies; frozen objects
+    # are never scanned again (refcounting still reclaims request-scoped
+    # garbage immediately)
+    import gc
+    gc.collect()
+    gc.freeze()
     log.info(
         "server started",
         extra={"kv": {"mode": cfg.mode, "addr": cfg.root_layer.bind_address}},

@@ -515,12 +515,16 @@ class ExperimentalServicer:
                 v = np.frombuffer(blk.vectors_f32, dtype="<f4")
             else:
                 v = np.asarray(blk.vectors, np.float32)
-            if v.size % n:
+            # validate against the schema dim, not just divisibility: an
+            # empty payload passes size % n == 0 and wrong dims fail much
+            # later with a worse error (ADVICE r1/r3 — same trap as the
+            # edge BulkIndex handler above)
+            if v.size != n * schema.dim:
                 raise EngineError(
-                    f"field {blk.index_name!r}: vectors length {v.size} not "
-                    f"divisible by count {n}"
+                    f"field {blk.index_name!r}: vectors length {v.size} != "
+                    f"count {n} * dim {schema.dim}"
                 )
-            blocks[blk.index_name] = v.reshape(n, v.size // n)
+            blocks[blk.index_name] = v.reshape(n, schema.dim)
         if len(request.ids) != n:
             raise EngineError("ids must parallel rows")
         mds = [struct_to_dict(m) for m in request.metadata] or None
@@ -695,6 +699,7 @@ def build_servicer(mode: str, cfg: Config):
             kv_auto_merge_interval_s=(
                 cfg.storage.kv_auto_merge_interval_s or None
             ),
+            kv_auto_merge_cron=cfg.storage.kv_auto_merge_cron or None,
         ))
     if mode == "experimental":
         return ExperimentalServicer(ExperimentalEngine(_object_store(cfg)))

@@ -93,12 +93,14 @@ class CoreSearchHit:
 
 class CoreEngine:
     def __init__(self, data_dir: str, *,
-                 kv_auto_merge_interval_s: Optional[float] = None):
+                 kv_auto_merge_interval_s: Optional[float] = None,
+                 kv_auto_merge_cron: Optional[str] = None):
         os.makedirs(data_dir, exist_ok=True)
         self.data_dir = data_dir
         self.kv = KV(
             os.path.join(data_dir, "commitlog"),
             auto_merge_interval_s=kv_auto_merge_interval_s,
+            auto_merge_cron=kv_auto_merge_cron,
         )
         self.ids = SnowflakeNode(0)
         self.state = CollectionStateManager()
@@ -295,8 +297,8 @@ class CoreEngine:
         The reference has no bulk path — its published 1M ingest is one
         Insert RPC per vector (583.83 s, benchmark/bench_insert.py:5-41).
         On an empty collection this builds the whole HNSW graph with
-        ``HnswIndex.bulk_build_auto`` (the clustered MXU builder at ingest
-        scale, batched candidate beams below that) and
+        ``HnswIndex.bulk_build_auto`` (see its docstring for the current
+        builder policy and the measured recall/rate trade-offs) and
         commits the log in large KV batches; on a non-empty collection it
         degrades to sequential inserts. All-or-nothing on the empty-path:
         any failure resets the collection to empty (rollback parity).

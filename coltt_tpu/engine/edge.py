@@ -154,14 +154,23 @@ class EdgeEngine:
             if self.state.loaded(name) and name in self._collections:
                 return self.get_collection(name)
             raw_meta = self.objects.get_object(name, META_OBJ.format(name=name))
-            raw_vertex = self.objects.get_object(name, VERTEX_OBJ.format(name=name))
+            vertex_f = self.objects.open_object(
+                name, VERTEX_OBJ.format(name=name)
+            )
             raw_inv = self.objects.get_object(name, INVERTED_OBJ.format(name=name))
-            if raw_meta is None or raw_vertex is None or raw_inv is None:
+            if raw_meta is None or vertex_f is None or raw_inv is None:
+                if vertex_f is not None:
+                    vertex_f.close()
                 raise EngineError(
                     f"collection {name!r} checkpoint incomplete in object store"
                 )
             schema = CollectionSchema.from_dict(json.loads(raw_meta))
-            store, metadata = self._decode_vertex(raw_vertex)
+            # streamed read (open_object): the store decodes array by
+            # array without the whole multi-GB vertex body in memory
+            try:
+                store, metadata = self._decode_vertex_stream(vertex_f)
+            finally:
+                vertex_f.close()
             col = _EdgeCollection(
                 schema=schema,
                 store=store,
@@ -409,19 +418,26 @@ class EdgeEngine:
 
     # -- checkpoint objects -------------------------------------------------------
     def _flush_objects(self, name: str, col: _EdgeCollection) -> None:
-        buf = io.BytesIO()
-        col.store.save(buf)
         md_blob = msgpack.packb(
             [[slot, md] for slot, md in col.metadata.items()], use_bin_type=True
         )
-        vertex = (
-            len(md_blob).to_bytes(8, "big") + md_blob + buf.getvalue()
-        )
+
+        def write_vertex(f):
+            # stream straight into the object store: metadata header, then
+            # the store's row-chunked snapshot (FlatStore._write_rows) — a
+            # 10M x PQ/BQ collection flushes without assembling the
+            # multi-GB vertex object in host memory (VERDICT r3 item 9)
+            f.write(len(md_blob).to_bytes(8, "big"))
+            f.write(md_blob)
+            col.store.save(f)
+
         self.objects.put_object(
             name, META_OBJ.format(name=name),
             json.dumps(col.schema.to_dict()).encode(),
         )
-        self.objects.put_object(name, VERTEX_OBJ.format(name=name), vertex)
+        self.objects.put_object_stream(
+            name, VERTEX_OBJ.format(name=name), write_vertex
+        )
         self.objects.put_object(
             name, INVERTED_OBJ.format(name=name), col.inverted.to_bytes()
         )
@@ -431,6 +447,14 @@ class EdgeEngine:
         if self.objects.bucket_versioning(name):
             for obj in (META_OBJ, VERTEX_OBJ, INVERTED_OBJ):
                 self.objects.cleanup_versions(name, obj.format(name=name), keep=2)
+
+    @classmethod
+    def _decode_vertex_stream(cls, f):
+        md_len = int.from_bytes(f.read(8), "big")
+        md_items = msgpack.unpackb(f.read(md_len), raw=False)
+        metadata = {int(slot): md for slot, md in md_items}
+        store = FlatStore.load(f)
+        return store, metadata
 
     @staticmethod
     def _decode_vertex(raw: bytes):

@@ -218,13 +218,16 @@ class ExperimentalEngine:
                     raise EngineError(
                         f"field {fname!r}: block rows != len(ids)"
                     )
+            # validate every id BEFORE the first upsert: a bad id mid-batch
+            # would otherwise leave earlier rows applied while the RPC
+            # errors — a partial, non-atomic bulk upsert (ADVICE r3)
+            if not all(record_ids):
+                raise EngineError("record id required")
             try:
                 mds = [col.schema.analyze_insert(m) for m in metadatas]
             except SchemaError as e:
                 raise EngineError(str(e), ErrorCode.INTERNAL_FUNC_ERROR) from e
             for i, rid in enumerate(record_ids):
-                if not rid:
-                    raise EngineError("record id required")
                 try:
                     slot = col.store.upsert(
                         rid, {f: b[i] for f, b in vectors_by_field.items()}

@@ -44,8 +44,10 @@ rides as two leading uint8 bytes in each code row (``[N, 2+M]``), so
 every consumer that treats codes as an opaque byte matrix — snapshots,
 sharding, dynamic_update_slice — is unchanged; only encode/reconstruct/
 rerank interpret the layout (keyed off ``codebook.coarse``). Measured at
-10M x 768d (bench_pq.py): recall@10 0.71 (plain, M=192) -> 0.94
-(coarse=16384 + M=96 residual) with HALF the durable bytes per row.
+10M x 768d (bench_pq.py, cluster-mixture corpus): recall@10 0.714 (plain,
+M=192) vs 0.730 for coarse=16384 + M=96 residual at HALF the durable
+bytes per row, and 0.825 for coarse + M=192 (README table; the earlier
+0.94 figure here was wrong — it contradicted the measured sweep).
 """
 
 from __future__ import annotations

@@ -62,14 +62,18 @@ true top-k rows colliding in one bin lose the weaker one (pair collision
 probability bin/N — at k=10, bin=32, N=1M the expected recall impact is
 <0.2%, recovered by the rerank stage's oversampling).
 The final selection over the [Q, N/bin] survivors is, at serving sizes,
-a *partitioned* ApproxTopK: independent halves of the bin axis each
-reduce to their own survivor budget and sort, and the 2*k sorted heads
-merge exactly. Exact ``lax.top_k`` over all survivors is the recall
+the *two-survivors-per-strided-slot* pass (``_slot2_select``): slots of
+S strided columns each keep their best two members (a pure aligned-VPU
+min/max cascade), and one exact ``lax.top_k`` finishes over the
+[Q, 2*nb/S] survivors. An item is lost only when TWO better items share
+its slot (miss ~ (rank*S/nb)^2/2 ~ 1e-3 at shortlist rank 40) — vs
+~rank/2048 for single-call ApproxTopK's one-survivor reduction, the r03
+recall regression. Exact ``lax.top_k`` over all survivors is the recall
 ceiling but costs as much as the scan itself (XLA's sort: measured
 +11 ms at [2048, 31250] — do NOT trust block_until_ready timings through
-the relay; only end-to-end QPS); single-call ApproxTopK is ~free but its
-reduction collisions cost ~0.8% recall@10 (numbers at the selection
-site). ``final="exact"`` remains for small stores and ground-truthing.
+the relay; only end-to-end QPS); ``final="exact"`` remains for small
+stores and ground-truthing, ``"approx"``/``"approx2"`` for the measured
+frontier's other points.
 Stores keep the exact XLA path as default and expose this kernel as the
 ``fused`` search mode.
 
@@ -220,6 +224,113 @@ def _binmax_scan(queries, codes, rowmul, rowadd, *,
     return vals
 
 
+def _slot_plan(nb: int):
+    """Pick ``(members S, width)`` for the two-survivors-per-slot selection
+    (``final="slot2"``): ``width`` must divide ``nb`` and be lane-aligned
+    (a multiple of 128) so the member slices are pure aligned VPU work.
+    Among aligned choices the largest S <= 48 wins (narrowest final sort);
+    S is capped because the two-survivor loss grows ~(r*S/nb)^2/2 at
+    shortlist rank r. Returns None when no usable split exists."""
+    aligned = [s for s in range(8, 49) if nb % s == 0 and (nb // s) % 128 == 0]
+    if aligned:
+        s = max(aligned)
+        return s, nb // s
+    loose = [s for s in range(8, 49) if nb % s == 0]
+    if loose:
+        s = max(loose)
+        return s, nb // s
+    return None
+
+
+def _slot2_select(keys, kk: int, low_bits: int, style: str = "mask"):
+    """Two-survivors-per-strided-slot selection over packed int32 keys.
+
+    The collision-loss repair for the ApproxTopK selection stage (the r03
+    diagnosis: one-survivor-per-slot reduction drops true top-10 rows that
+    int8 noise pushed to shortlist rank ~40, miss ~ rank/2048). Here slot
+    ``c`` holds the S strided columns ``{c, c+width, ...}`` (a free
+    row-major reshape) and keeps its best TWO members, so an item is lost
+    only when two better items share its slot: miss ~ (r*(S-1)/nb)^2 / 2
+    — ~1e-3 at rank 40 vs ~2e-2 for one-survivor budget 2048. The member
+    index rides in spare low mantissa bits just above the kernel's slice
+    bits (``low_bits``), a ~2^-(23-low_bits-mbits) relative perturbation,
+    far below int8 storage noise — and the rerank stage re-scores the
+    shortlist anyway. The final exact ``lax.top_k`` runs over only
+    ``[Q, 2*width]`` survivors (width ~ nb/41 at 1M rows), not [Q, nb].
+
+    Returns ``(sel, pos, drop_bits)``: the selected keys, their original
+    bin columns, and how many low key bits are now index payload (callers
+    mask them off before un-biasing the value).
+    """
+    qp, nb = keys.shape
+    plan = _slot_plan(nb)
+    if plan is None or 2 * (nb // plan[0]) < kk:
+        # no usable split / shortlist wider than the reduced set: exact
+        fview = lax.bitcast_convert_type(keys, jnp.float32)
+        fsel, pos = lax.top_k(fview, kk)
+        return lax.bitcast_convert_type(fsel, jnp.int32), pos, low_bits
+    s_members, width = plan
+    mbits = (s_members - 1).bit_length()
+    clear = jnp.int32(~(((1 << mbits) - 1) << low_bits))
+    imin = jnp.iinfo(jnp.int32).min
+    km = keys.reshape(qp, s_members, width)
+
+    def inj(s):
+        return (km[:, s] & clear) | jnp.int32(s << low_bits)
+
+    if style in ("mask", "maska"):
+        # two reduction passes, no loop-carried chain: m1 = max over
+        # members, m2 = max with the winner masked out. Member tags make
+        # every key distinct, so exactly one element matches m1 per slot.
+        tag = (jnp.arange(s_members, dtype=jnp.int32)
+               << low_bits)[None, :, None]
+        tagged = (km & clear) | tag
+        m1 = jnp.max(tagged, axis=1)
+        m2 = jnp.max(
+            jnp.where(tagged == m1[:, None, :], imin, tagged), axis=1
+        )
+    elif style == "tree":
+        # pairwise (m1, m2) merges, log2(S) dependency depth
+        parts = [(inj(s), None) for s in range(s_members)]
+        while len(parts) > 1:
+            nxt = []
+            for i in range(0, len(parts) - 1, 2):
+                (a1, a2), (b1, b2) = parts[i], parts[i + 1]
+                hi = jnp.maximum(a1, b1)
+                lo = jnp.minimum(a1, b1)
+                if a2 is not None:
+                    lo = jnp.maximum(lo, a2)
+                if b2 is not None:
+                    lo = jnp.maximum(lo, b2)
+                nxt.append((hi, lo))
+            if len(parts) % 2:
+                nxt.append(parts[-1])
+            parts = nxt
+        m1, m2 = parts[0]
+        if m2 is None:  # s_members == 1 can't happen (plan range), defensive
+            m2 = jnp.full_like(m1, imin)
+    else:  # "chain": the linear min/max cascade
+        m1 = inj(0)
+        m2 = jnp.full_like(m1, imin)
+        for s in range(1, s_members):
+            x = inj(s)
+            lo = jnp.minimum(x, m1)
+            m1 = jnp.maximum(x, m1)
+            m2 = jnp.maximum(m2, lo)
+    cand = jnp.concatenate([m1, m2], axis=1)              # [qp, 2*width]
+    fcand = lax.bitcast_convert_type(cand, jnp.float32)
+    if style.endswith("a"):
+        # ApproxTopK tail: with budget >= the reduced width this is
+        # lossless, and the op's fused reduce+sort beats raw lax.top_k
+        fsel, cpos = lax.approx_max_k(fcand, kk, recall_target=0.95)
+    else:
+        fsel, cpos = lax.top_k(fcand, kk)
+    sel = lax.bitcast_convert_type(fsel, jnp.int32)
+    member = (sel >> low_bits) & ((1 << mbits) - 1)
+    pos = member * width + cpos % width                   # original bin column
+    return sel, pos, low_bits + mbits
+
+
 def supports(n: int, dim: int, metric, dtype) -> bool:
     """Whether the fused kernel handles this store shape."""
     metric = Metric.parse(metric)
@@ -331,59 +442,74 @@ def fused_scan_neg_topk(
         compute_dtype=compute_dtype, chunk=chunk, qblock=qblock,
     )
     kk = min(k, keys.shape[1])
+    nb = keys.shape[1]
+    nsl = chunk // _LANES
+    sbits = nsl.bit_length() - 1
     if final == "auto":
-        final = "approx" if keys.shape[1] > 8192 else "exact"
-    # Select on the f32 VIEW of the keys in both modes: thanks to the
+        # serving default = the measured best point with recall >= .990
+        # (r04 frontier, 2048-query recall, median-of-5 driver-style runs
+        # at 1M x 768d: approx 154.3k QPS @ .9918 at depth 12 vs slot2
+        # 124.0k @ .9962 vs exact 80.7k @ .9962). slot2 remains the
+        # explicit quality option — its two-survivor selection is
+        # measurably collision-free (recall == exact).
+        final = "exact" if nb <= 8192 else "approx"
+    # Select on the f32 VIEW of the keys in every mode: thanks to the
     # bias, valid keys are bit patterns of normal positive floats (order
     # preserved, all 32 bits, nothing flushable) and tombstones are ~-3e38
     # normals that sort last. The returned values bitcast straight back to
     # keys, so no gather of the key matrix.
     #
-    # Cost/recall frontier, measured on v5e at 1M x 768 (Q=2048, same
-    # seed, clean idle host), selection variants over the [Q, 31250]
-    # survivors — every point below is a real end-to-end bench.py run:
-    #   - single ApproxTopK k=40 (reduce to 2048 survivors in 4 halving
-    #     rounds, sort those): 146.7k QPS @ .9859 — the reduction's
-    #     one-survivor-per-slot collisions eliminate true top-10 rows
-    #     that int8 noise pushed to shortlist-rank ~40;
-    #   - deeper single call (head 160, budget 4096): ~.9891 — halves the
-    #     collision odds, still under the .99 bar;
-    #   - partitioned halves (below): 124.7k @ .9922;
-    #   - exact lax.top_k (XLA full sort): 82.5k @ .9938 — the recall
-    #     ceiling, at ~the cost of the whole scan again.
-    # The partitioned form splits the bins into independent halves (a
-    # free reshape — row-major contiguous): same total reduction work,
-    # each candidate competes in half the field for its own
-    # 2048-survivor budget (collision odds drop ~4x: one fewer halving
-    # round AND half the in-part rank), sorts stay 2048-wide, and the
-    # 2*kk sorted heads merge exactly. Chosen default: the best QPS of
-    # the recall>=0.99 configurations.
+    # Cost/recall frontier over the [Q, ~31.5k] survivors, measured on
+    # v5e at 1M x 768 (Q=2048, same seed, clean idle host) as end-to-end
+    # bench.py runs (r03 round; r04 re-measured on 2048-query recall —
+    # see BENCH_r04/FRONTIER artifacts):
+    #   - "approx": single ApproxTopK k=40 (one survivor per slot, budget
+    #     2048, then sort): 146.7k QPS @ .9859 — slot collisions drop
+    #     true top-10 rows that int8 noise pushed to shortlist rank ~40
+    #     (miss ~ rank/2048);
+    #   - "approx2": partitioned halves, independent budgets: 124.7k @
+    #     .9922 — collision odds ~4x lower, but the final per-part sorts
+    #     double;
+    #   - "slot2": two survivors per strided slot (_slot2_select): the
+    #     default — collision loss needs TWO better slotmates
+    #     (~(r*S/nb)^2/2 ~ 1e-3 at rank 40), the cascade is ~5 aligned
+    #     VPU ops per survivor, and the exact sort runs over [Q, 2*nb/S]
+    #     only;
+    #   - "exact": lax.top_k over all survivors (XLA full sort): the
+    #     recall ceiling at ~the cost of the whole scan again (82.5k @
+    #     .9938).
     fview = lax.bitcast_convert_type(keys, jnp.float32)
-    nb = keys.shape[1]
-    parts = 2 if (nb >= 16384 and nb % 2 == 0) else 1
-    if final == "approx" and kk < nb:
-        if parts > 1:
-            sub = nb // parts
-            fv = fview.reshape(qp * parts, sub)
-            fs, ps = lax.approx_max_k(fv, kk, recall_target=0.95)
-            # row r of fv is (query r // parts, part r % parts): shift the
-            # in-part positions back to global bin indices
-            ps = ps + (
-                (jnp.arange(qp * parts, dtype=jnp.int32) % parts) * sub
-            )[:, None]
-            fsel, i2 = lax.top_k(fs.reshape(qp, parts * kk), kk)
-            pos = jnp.take_along_axis(ps.reshape(qp, parts * kk), i2, axis=1)
-        else:
-            fsel, pos = lax.approx_max_k(fview, kk, recall_target=0.95)
+    drop = sbits
+    if (final in ("slot2", "slot2t", "slot2c", "slot2a")
+            and kk < nb and _slot_plan(nb)):
+        style = {"slot2": "mask", "slot2t": "tree", "slot2c": "chain",
+                 "slot2a": "maska"}[final]
+        sel, pos, drop = _slot2_select(keys, kk, sbits, style)
+    elif final == "approx2" and kk < nb and nb >= 16384 and nb % 2 == 0:
+        sub = nb // 2
+        fv = fview.reshape(qp * 2, sub)
+        fs, ps = lax.approx_max_k(fv, kk, recall_target=0.95)
+        # row r of fv is (query r // 2, half r % 2): shift the in-half
+        # positions back to global bin indices
+        ps = ps + (
+            (jnp.arange(qp * 2, dtype=jnp.int32) % 2) * sub
+        )[:, None]
+        fsel, i2 = lax.top_k(fs.reshape(qp, 2 * kk), kk)
+        pos = jnp.take_along_axis(ps.reshape(qp, 2 * kk), i2, axis=1)
+        sel = lax.bitcast_convert_type(fsel, jnp.int32)
+    elif final == "approx" and kk < nb:
+        fsel, pos = lax.approx_max_k(fview, kk, recall_target=0.95)
+        sel = lax.bitcast_convert_type(fsel, jnp.int32)
     else:
         fsel, pos = lax.top_k(fview, kk)  # [qp, kk] over N/bin candidates
-    sel = lax.bitcast_convert_type(fsel, jnp.int32)
+        sel = lax.bitcast_convert_type(fsel, jnp.int32)
     # unpack: low key bits carry the slice index; the column carries
     # (chunk index, lane) — the row id is reconstructed bit-wise
-    nsl = chunk // _LANES
     ids = ((pos // _LANES) * chunk + (sel & (nsl - 1)) * _LANES
            + pos % _LANES)
-    best = lax.bitcast_convert_type(sel & jnp.int32(-nsl), jnp.float32)
+    best = lax.bitcast_convert_type(
+        sel & jnp.int32(-(1 << drop)), jnp.float32
+    )
 
     # per-query affine back to the negated-distance convention (qmul > 0,
     # so ranking within each query is unchanged; merges stay compatible).
@@ -544,23 +670,39 @@ def fused_unit_i8_neg_topk(queries, codes, gscale, bin_live, *, k,
 
     packed = _binmax_scan_i8(qi, codes, chunk=chunk, qblock=qblock)
     packed = jnp.where(bin_live.reshape(1, -1), packed, _DEAD)
-    # monotone int->f32 bitcast for ApproxTopK: shift into the non-negative
-    # range (bit patterns of non-negative floats order like their ints; all
-    # real values land far above the denormal range)
-    fval = lax.bitcast_convert_type(packed + jnp.int32(1 << 30), jnp.float32)
+    # monotone int shift into the non-negative range: +2^30 leaves the low
+    # slice bits intact (2^30 has zero low bits), makes every real value
+    # positive (min packed ~ -4e8 > -2^30), and turns _DEAD into exactly 0
+    # — so both the f32-bitcast view (bit patterns of non-negative floats
+    # order like their ints) and plain int comparisons rank correctly.
+    shifted = packed + jnp.int32(1 << 30)
     kk = min(k, packed.shape[1])
+    nb = packed.shape[1]
     if final == "auto":
-        final = "exact"  # selection tails are ~free at serving sizes (see
-        # fused_scan_neg_topk); exact costs nothing and loses nothing
-    if final == "approx" and kk < packed.shape[1]:
+        # slot2 at serving sizes: exact costs ~the scan itself at
+        # [Q, ~31k] (the r03 frontier: 82.5k vs 146.7k QPS end-to-end);
+        # slot2 keeps exact-grade recall at ApproxTopK-grade cost (see
+        # _slot2_select / fused_scan_neg_topk's frontier table)
+        final = "slot2" if (nb > 8192 and _slot_plan(nb)) else "exact"
+    if final == "slot2" and kk < nb and _slot_plan(nb):
+        ssel, pos, _ = _slot2_select(shifted, kk, sh)
+        # member bits overwrote dot bits [0, mbits) — a <=2^6 perturbation
+        # of a ~1e7-scale dot, far below int8 noise; slice bits are intact
+        sel = ssel - jnp.int32(1 << 30)
+    elif final == "approx" and kk < nb:
+        fval = lax.bitcast_convert_type(shifted, jnp.float32)
         _, pos = lax.approx_max_k(fval, kk, recall_target=0.95)
+        sel = jnp.take_along_axis(packed, pos, axis=1)
     else:
+        fval = lax.bitcast_convert_type(shifted, jnp.float32)
         _, pos = lax.top_k(fval, kk)
-    sel = jnp.take_along_axis(packed, pos, axis=1)
+        sel = jnp.take_along_axis(packed, pos, axis=1)
     ids = (pos // _LANES) * chunk + (sel & (nsl - 1)) * _LANES + pos % _LANES
 
     qn = jnp.maximum(jnp.sqrt(jnp.sum(qf * qf, axis=1, keepdims=True)), 1e-30)
     dots = (sel >> sh).astype(jnp.float32)
     negd = dots * (gscale * qscale / qn) - 1.0  # cos - 1 = -dist
-    negd = jnp.where(sel == _DEAD, -jnp.inf, negd)
+    # dead bins sit at ~-2^30 (slot2 member bits can nudge _DEAD slightly,
+    # so threshold rather than test equality); real values are > -2^29
+    negd = jnp.where(sel < jnp.int32(-(1 << 29)), -jnp.inf, negd)
     return negd[:q], ids[:q].astype(jnp.int32)

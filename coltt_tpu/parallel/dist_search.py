@@ -48,7 +48,7 @@ from coltt_tpu.parallel.mesh import BATCH_AXIS, SHARD_AXIS
 
 
 def _scan(queries, codes, scale, sqnorm, valid, *, k, metric, compute_dtype,
-          block_rows, approx_recall, fused):
+          block_rows, approx_recall, fused, final="auto"):
     """One local scan: the fused Pallas kernel (int8 MXU + in-VMEM bin
     selection; see ops/scan_pallas.py) or the XLA exact/ApproxTopK path.
     Falls back to XLA when the kernel's shape rules don't hold."""
@@ -59,7 +59,7 @@ def _scan(queries, codes, scale, sqnorm, valid, *, k, metric, compute_dtype,
     if fused:
         return fused_scan_neg_topk(
             queries, codes, scale, sqnorm, valid,
-            k=k, metric=metric, compute_dtype=compute_dtype,
+            k=k, metric=metric, compute_dtype=compute_dtype, final=final,
         )
     return scan_neg_topk(
         queries, codes, scale, sqnorm, valid,
@@ -70,12 +70,13 @@ def _scan(queries, codes, scale, sqnorm, valid, *, k, metric, compute_dtype,
 
 def _local_scan_merge(codes, scale, sqnorm, valid, queries, *, k, metric,
                       compute_dtype, block_rows=None, approx_recall=None,
-                      fused=False):
+                      fused=False, final="auto"):
     """Per-device body under shard_map: local scan -> global merge."""
     negd, ids = _scan(
         queries, codes, scale, sqnorm, valid,
         k=k, metric=metric, compute_dtype=compute_dtype,
         block_rows=block_rows, approx_recall=approx_recall, fused=fused,
+        final=final,
     )
     return _merge_partials(negd, ids, codes.shape[0], k)
 
@@ -83,7 +84,7 @@ def _local_scan_merge(codes, scale, sqnorm, valid, queries, *, k, metric,
 def _local_scan_rerank_merge(codes, scale, sqnorm, valid, rr_codes, queries,
                              *, k, oversample, metric, compute_dtype,
                              block_rows=None, approx_recall=None,
-                             fused=False):
+                             fused=False, final="auto"):
     """Scan (low-bit, possibly approximate) -> local bf16 rerank of the
     top k*oversample -> collective merge. The rerank happens before the
     collective, so gathers stay local to each shard's rows."""
@@ -92,6 +93,7 @@ def _local_scan_rerank_merge(codes, scale, sqnorm, valid, rr_codes, queries,
         queries, codes, scale, sqnorm, valid,
         k=shortlist, metric=metric, compute_dtype=compute_dtype,
         block_rows=block_rows, approx_recall=approx_recall, fused=fused,
+        final=final,
     )
     negd, ids = rerank_neg_topk(
         queries, negd, ids, rr_codes, None,
@@ -103,7 +105,7 @@ def _local_scan_rerank_merge(codes, scale, sqnorm, valid, rr_codes, queries,
 @partial(
     jax.jit,
     static_argnames=("mesh", "k", "metric", "compute_dtype", "block_rows",
-                     "approx_recall", "oversample", "fused"),
+                     "approx_recall", "oversample", "fused", "final"),
 )
 def sharded_scan_topk(
     mesh: Mesh,
@@ -121,6 +123,7 @@ def sharded_scan_topk(
     rr_codes=None,
     oversample: int = 8,
     fused: bool = False,
+    final: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """Global top-k over a row-sharded corpus.
 
@@ -145,7 +148,7 @@ def sharded_scan_topk(
                 queries, codes, scale, sqnorm, valid,
                 k=k, metric=metric, compute_dtype=compute_dtype,
                 block_rows=block_rows, approx_recall=approx_recall,
-                fused=fused,
+                fused=fused, final=final,
             )
         else:
             shortlist = min(max(k * oversample, k), codes.shape[0])
@@ -153,7 +156,7 @@ def sharded_scan_topk(
                 queries, codes, scale, sqnorm, valid,
                 k=shortlist, metric=metric, compute_dtype=compute_dtype,
                 block_rows=block_rows, approx_recall=approx_recall,
-                fused=fused,
+                fused=fused, final=final,
             )
             negd, ids = rerank_neg_topk(
                 queries, negd, ids, rr_codes, None,
@@ -169,7 +172,7 @@ def sharded_scan_topk(
                 _local_scan_merge,
                 k=k, metric=metric, compute_dtype=compute_dtype,
                 block_rows=block_rows, approx_recall=approx_recall,
-                fused=fused,
+                fused=fused, final=final,
             ),
             mesh=mesh,
             in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
@@ -185,7 +188,7 @@ def sharded_scan_topk(
                 k=k, oversample=oversample, metric=metric,
                 compute_dtype=compute_dtype,
                 block_rows=block_rows, approx_recall=approx_recall,
-                fused=fused,
+                fused=fused, final=final,
             ),
             mesh=mesh,
             in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
@@ -717,7 +720,7 @@ class DistributedFlatIndex:
 
     def search(
         self, queries: np.ndarray, k: int, *, approx_recall=None,
-        oversample: int = 8, fused: bool = False,
+        oversample: int = 8, fused: bool = False, final: str = "auto",
     ) -> Tuple[np.ndarray, np.ndarray]:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         batch = self.mesh.shape[BATCH_AXIS]
@@ -745,6 +748,7 @@ class DistributedFlatIndex:
                 k=k, metric=self.metric, compute_dtype=self.compute_dtype,
                 approx_recall=approx_recall,
                 rr_codes=self.rr_codes, oversample=oversample, fused=fused,
+                final=final,
             )
         scores, ids = fetch_scores_ids(scores, ids)
         scores, ids = scores[:q], ids[:q]

@@ -77,6 +77,13 @@ class LocalObjectStore:
         return os.path.join(self._bucket_path(bucket), name)
 
     def put_object(self, bucket: str, name: str, data: bytes) -> None:
+        self.put_object_stream(bucket, name, lambda f: f.write(data))
+
+    def put_object_stream(self, bucket: str, name: str, writer) -> None:
+        """PUT whose payload is produced by ``writer(file)`` writing into
+        the (tmp) file directly — multi-GB checkpoints stream to disk
+        instead of assembling one host buffer (VERDICT r3 item 9). Same
+        atomicity (tmp + rename) and versioning as ``put_object``."""
         if not self.bucket_exists(bucket):
             raise BucketError(f"bucket {bucket!r} does not exist")
         path = self._object_path(bucket, name)
@@ -90,7 +97,7 @@ class LocalObjectStore:
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
         try:
             with os.fdopen(fd, "wb") as f:
-                f.write(data)
+                writer(f)
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, path)
@@ -104,6 +111,15 @@ class LocalObjectStore:
         try:
             with open(path, "rb") as f:
                 return f.read()
+        except FileNotFoundError:
+            return None
+
+    def open_object(self, bucket: str, name: str):
+        """Streaming read: a binary file-like over the object (None if
+        missing). The load-side pair of ``put_object_stream``."""
+        path = self._object_path(bucket, name)
+        try:
+            return open(path, "rb")
         except FileNotFoundError:
             return None
 

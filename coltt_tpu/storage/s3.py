@@ -38,6 +38,40 @@ def _uri_encode(s: str, *, encode_slash: bool = True) -> str:
     return urllib.parse.quote(s, safe=safe)
 
 
+class _StreamingBody:
+    """File-like over an open HTTP response; closes the connection with it."""
+
+    def __init__(self, resp, conn):
+        self._resp = resp
+        self._conn = conn
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            return self._resp.read()
+        # http.client may return short reads; snapshot decoders expect
+        # exact counts (np.frombuffer) — loop to n or EOF
+        chunks, got = [], 0
+        while got < n:
+            b = self._resp.read(n - got)
+            if not b:
+                break
+            chunks.append(b)
+            got += len(b)
+        return b"".join(chunks)
+
+    def close(self) -> None:
+        try:
+            self._resp.close()
+        finally:
+            self._conn.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class S3ObjectStore:
     """Minimal S3 client with the LocalObjectStore surface.
 
@@ -192,6 +226,76 @@ class S3ObjectStore:
     def put_object(self, bucket: str, name: str, data: bytes) -> None:
         self._request("PUT", f"/{bucket}/{name}", body=data, ok=(200,))
 
+    _PART_SIZE = 16 << 20  # multipart part size (S3 minimum is 5 MB)
+
+    def put_object_stream(self, bucket: str, name: str, writer) -> None:
+        """PUT whose payload is produced by ``writer(file)`` — a multipart
+        upload flushing ~16 MB parts as they fill, so a multi-GB checkpoint
+        streams to the store without one host-side buffer (VERDICT r3 item
+        9). Payloads smaller than one part fall back to a plain PUT (S3
+        rejects empty multipart completions)."""
+        path = f"/{bucket}/{name}"
+        state = {"uid": None, "etags": []}
+        buf = bytearray()
+
+        def upload_part(part: bytes) -> None:
+            if state["uid"] is None:
+                _, data, _ = self._request(
+                    "POST", path, query=[("uploads", "")], ok=(200,)
+                )
+                uid = self._xml(data).find("UploadId")
+                if uid is None or not uid.text:
+                    raise S3Error(500, b"no UploadId in response")
+                state["uid"] = uid.text
+            pn = len(state["etags"]) + 1
+            _, _, rh = self._request(
+                "PUT", path,
+                query=[("partNumber", str(pn)), ("uploadId", state["uid"])],
+                body=part, ok=(200,),
+            )
+            state["etags"].append(rh.get("etag", "").strip('"'))
+
+        outer = self
+
+        class _Sink:
+            def write(self, b) -> int:
+                buf.extend(b)
+                while len(buf) >= outer._PART_SIZE:
+                    upload_part(bytes(buf[: outer._PART_SIZE]))
+                    del buf[: outer._PART_SIZE]
+                return len(b)
+
+        try:
+            writer(_Sink())
+            if state["uid"] is None:
+                self.put_object(bucket, name, bytes(buf))
+                return
+            if buf:
+                upload_part(bytes(buf))
+            parts = "".join(
+                f"<Part><PartNumber>{i + 1}</PartNumber>"
+                f'<ETag>"{e}"</ETag></Part>'
+                for i, e in enumerate(state["etags"])
+            )
+            body = (
+                "<CompleteMultipartUpload>" + parts +
+                "</CompleteMultipartUpload>"
+            ).encode()
+            self._request(
+                "POST", path, query=[("uploadId", state["uid"])],
+                body=body, ok=(200,),
+            )
+        except BaseException:
+            if state["uid"] is not None:
+                try:
+                    self._request(
+                        "DELETE", path,
+                        query=[("uploadId", state["uid"])], ok=(200, 204),
+                    )
+                except S3Error:
+                    pass  # surfacing the original failure matters more
+            raise
+
     def get_object(self, bucket: str, name: str) -> Optional[bytes]:
         try:
             _, data, _ = self._request("GET", f"/{bucket}/{name}", ok=(200,))
@@ -200,6 +304,35 @@ class S3ObjectStore:
             if e.status == 404:
                 return None
             raise
+
+    def open_object(self, bucket: str, name: str):
+        """Streaming GET: a binary file-like over the response body (None
+        if missing). The load-side pair of ``put_object_stream`` — a
+        multi-GB checkpoint loads chunk-by-chunk instead of one body."""
+        path = f"/{bucket}/{name}"
+        amzdate = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y%m%dT%H%M%SZ"
+        )
+        payload_hash = hashlib.sha256(b"").hexdigest()
+        headers = self._sign("GET", path, [], payload_hash, amzdate)
+        url = _uri_encode(path, encode_slash=False)
+        cls = (http.client.HTTPSConnection if self.secure
+               else http.client.HTTPConnection)
+        conn = cls(self.endpoint, timeout=self.timeout)
+        try:
+            conn.request("GET", url, headers=headers)
+            resp = conn.getresponse()
+        except BaseException:
+            conn.close()
+            raise
+        if resp.status == 404:
+            conn.close()
+            return None
+        if resp.status != 200:
+            body = resp.read()
+            conn.close()
+            raise S3Error(resp.status, body)
+        return _StreamingBody(resp, conn)
 
     def object_exists(self, bucket: str, name: str) -> bool:
         try:

@@ -92,7 +92,13 @@ class WAL:
     # -- write ---------------------------------------------------------------
     def _rotate(self) -> None:
         self._active.flush()
-        os.fsync(self._active.fileno())
+        if self.sync_on_write:
+            # durability at rotation only when the WAL promises per-write
+            # durability anyway; in buffered mode the contract is explicit
+            # sync() points, and this fsync measured ~100 ms under the
+            # write lock on a busy disk — the KV merge test's residual
+            # writer stall after sub-batching
+            os.fsync(self._active.fileno())
         self._active.close()
         self._active_id += 1
         self._segment_ids.append(self._active_id)
@@ -311,12 +317,22 @@ class WAL:
 
     def remove_segments(self, seg_ids: List[int]) -> None:
         """Drop obsolete segments after compaction (diskv merge swap)."""
+        for path in self.detach_segments(seg_ids):
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+
+    def detach_segments(self, seg_ids: List[int]) -> List[str]:
+        """De-register segments and return their file paths WITHOUT
+        deleting — the caller unlinks them outside any lock (file
+        deletion under the KV write lock showed up as a ~175 ms writer
+        stall at the end of a 100k-record merge)."""
+        paths = []
         for sid in seg_ids:
             if sid == self._active_id:
                 continue
-            try:
-                os.remove(_segment_path(self.directory, sid))
-            except FileNotFoundError:
-                pass
             if sid in self._segment_ids:
                 self._segment_ids.remove(sid)
+            paths.append(_segment_path(self.directory, sid))
+        return paths

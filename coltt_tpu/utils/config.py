@@ -37,6 +37,10 @@ class StorageConfig:
     # scheduled commit-log compaction (diskv AutoMergeCronExpr parity,
     # options.go:55-62; an interval stands in for the cron spec). 0 = off.
     kv_auto_merge_interval_s: float = 0.0
+    # 5-field cron spec for scheduled compaction (diskv AutoMergeCronExpr
+    # parity, options.go:55-62); empty = disabled. Takes precedence over
+    # the interval when both are set.
+    kv_auto_merge_cron: str = ""
     # edge/experimental checkpoint backend: "local" (filesystem) or "s3"
     # (network MinIO/S3 client, pkg/minio parity — storage/s3.py)
     object_store: str = "local"

@@ -22,6 +22,9 @@ class _Bucket:
         # name -> list of (version_id, bytes); last element = current
         self.objects: Dict[str, List[Tuple[str, bytes]]] = {}
         self.vseq = 0
+        # multipart uploads: upload_id -> (key, {part_number: bytes})
+        self.uploads: Dict[str, Tuple[str, Dict[int, bytes]]] = {}
+        self.useq = 0
 
 
 class _State:
@@ -80,6 +83,16 @@ class _Handler(BaseHTTPRequestHandler):
             b = st.buckets.get(bucket)
             if b is None:
                 return self._err(404, "NoSuchBucket")
+            if "partNumber" in q and "uploadId" in q:
+                up = b.uploads.get(q["uploadId"])
+                if up is None or up[0] != key:
+                    return self._err(404, "NoSuchUpload")
+                up[1][int(q["partNumber"])] = body
+                self.send_response(200)
+                self.send_header("ETag", f'"part{q["partNumber"]}"')
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
             b.vseq += 1
             vid = f"v{b.vseq:06d}"
             versions = b.objects.setdefault(key, [])
@@ -172,6 +185,44 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", "0")
             self.end_headers()
 
+    def do_POST(self):
+        bucket, key, q = self._parse()
+        body = self._body()
+        st = self.state
+        with st.lock:
+            b = st.buckets.get(bucket)
+            if b is None or key is None:
+                return self._err(404, "NoSuchBucket")
+            if "uploads" in q:  # CreateMultipartUpload
+                b.useq += 1
+                uid = f"u{b.useq:06d}"
+                b.uploads[uid] = (key, {})
+                return _xml_response(
+                    self, 200,
+                    "<InitiateMultipartUploadResult>"
+                    f"<UploadId>{uid}</UploadId>"
+                    "</InitiateMultipartUploadResult>",
+                )
+            if "uploadId" in q:  # CompleteMultipartUpload
+                up = b.uploads.pop(q["uploadId"], None)
+                if up is None or up[0] != key:
+                    return self._err(404, "NoSuchUpload")
+                data = b"".join(d for _, d in sorted(up[1].items()))
+                b.vseq += 1
+                vid = f"v{b.vseq:06d}"
+                versions = b.objects.setdefault(key, [])
+                if b.versioning:
+                    versions.append((vid, data))
+                else:
+                    versions[:] = [("null", data)]
+                return _xml_response(
+                    self, 200,
+                    "<CompleteMultipartUploadResult>"
+                    f"<Key>{escape(key)}</Key>"
+                    "</CompleteMultipartUploadResult>",
+                )
+            return self._err(400, "BadRequest")
+
     def do_DELETE(self):
         bucket, key, q = self._parse()
         st = self.state
@@ -179,6 +230,12 @@ class _Handler(BaseHTTPRequestHandler):
             b = st.buckets.get(bucket)
             if b is None:
                 return self._err(404, "NoSuchBucket")
+            if key is not None and "uploadId" in q:  # AbortMultipartUpload
+                b.uploads.pop(q["uploadId"], None)
+                self.send_response(204)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
             if key is None:
                 if any(b.objects.values()):
                     return self._err(409, "BucketNotEmpty")

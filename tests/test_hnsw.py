@@ -294,3 +294,130 @@ def test_empty_index_search():
     idx = HnswIndex(8)
     d, ids = idx.search(np.zeros((2, 8), np.float32), k=3)
     assert (ids == -1).all() and np.isinf(d).all()
+
+
+def test_incremental_device_cache_mutate_search():
+    """VERDICT r3 items 4b/8: mutations scatter into the capacity-shaped
+    device cache instead of invalidating it; searches see every mutation."""
+    import numpy as np
+    from coltt_tpu.store.hnsw import HnswIndex
+    from coltt_tpu.ops.distance import Metric
+
+    rng = np.random.default_rng(5)
+    idx = HnswIndex(32, metric=Metric.COSINE, seed=1)
+    base = rng.standard_normal((300, 32)).astype(np.float32)
+    for i in range(300):
+        idx.insert(base[i])
+    q = rng.standard_normal(32).astype(np.float32)
+    d0, s0 = idx.search(q, 5)
+    cache0 = idx._device_cache
+    assert cache0 is not None
+    assert cache0[0].shape[0] == idx._vecs.shape[0]  # capacity-shaped
+
+    # insert a near-duplicate of the query: next search must surface it
+    # through a dirty-row scatter, not a full rebuild
+    slot = idx.insert(q * 1.001)
+    d1, s1 = idx.search(q, 5)
+    assert s1[0, 0] == slot
+    cache1 = idx._device_cache
+    assert cache1 is not None and not idx._dirty
+    # the cache object was updated in place (scatter), not rebuilt from
+    # scratch: capacity unchanged -> same array shape
+    assert cache1[0].shape[0] == cache0[0].shape[0]
+
+    # remove it: must disappear again
+    assert idx.remove(slot)
+    d2, s2 = idx.search(q, 5)
+    assert slot not in s2[0].tolist()
+    # results equal the pre-insert state
+    assert set(s2[0].tolist()) == set(s0[0].tolist())
+
+
+def test_concurrent_insert_search_stress():
+    """VERDICT r3 item 8: searches racing in-place adjacency writes must
+    never crash or return torn results (the reference carries per-vertex
+    locks here, hnsw.go:50-51)."""
+    import threading
+    import numpy as np
+    from coltt_tpu.store.hnsw import HnswIndex
+    from coltt_tpu.ops.distance import Metric
+
+    rng = np.random.default_rng(11)
+    idx = HnswIndex(16, metric=Metric.EUCLIDEAN, seed=3)
+    vecs = rng.standard_normal((600, 16)).astype(np.float32)
+    for i in range(200):
+        idx.insert(vecs[i], slot=i)
+
+    errors = []
+    stop = threading.Event()
+
+    def writer():
+        try:
+            for i in range(200, 600):
+                idx.insert(vecs[i], slot=i)
+                if i % 7 == 0:
+                    idx.remove(i - 150)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def reader():
+        qs = rng.standard_normal((4, 16)).astype(np.float32)
+        try:
+            while not stop.is_set():
+                d, s = idx.search(qs, 5)
+                ok = s >= 0
+                # ids in range, finite distances on real hits
+                assert (s[ok] < idx._vecs.shape[0]).all()
+                assert np.isfinite(d[ok]).all()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    # final consistency: everything alive is findable by its own vector
+    d, s = idx.search(vecs[599], 3)
+    assert s[0, 0] == 599
+
+
+def test_bulk_build_clustered_nn_descent_refine():
+    """descent_rounds: the NN-descent pass must lift (or at least hold)
+    the clustered build's recall — it re-selects edges from
+    neighbors-of-neighbors against the finished graph."""
+    rng = np.random.default_rng(77)
+    n, dim = 4000, 24
+    vecs = rng.standard_normal((n, dim), dtype=np.float32)
+
+    def build(rounds):
+        idx = HnswIndex(
+            dim, metric=Metric.COSINE,
+            config=HnswConfig(m=8, ef_construction=60, algorithm=HEURISTIC),
+            seed=1,
+        )
+        idx.bulk_build_clustered(
+            vecs, cluster_size=512, seed=2, descent_rounds=rounds
+        )
+        return idx
+
+    qs = rng.standard_normal((20, dim), dtype=np.float32)
+
+    def recall(idx):
+        d, ids = idx.search(qs, k=10, ef=80)
+        hits = sum(
+            len(set(_brute_topk(vecs, qs[i], 10))
+                & {int(x) for x in ids[i] if x >= 0})
+            for i in range(20)
+        )
+        return hits / 200
+
+    r0 = recall(build(0))
+    r1 = recall(build(1))
+    assert r1 >= r0 - 0.02, f"descent hurt recall: {r0} -> {r1}"
+    assert r1 >= 0.9, f"refined clustered recall@10 {r1}"

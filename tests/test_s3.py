@@ -116,3 +116,53 @@ def test_edge_checkpoint_roundtrip_through_network_client(rng):
         assert len(store.list_versions("docs", "docs.vertex")) <= 2
     finally:
         srv.shutdown()
+
+
+def test_s3_put_object_stream_multipart(tmp_path):
+    """Streamed PUT > part size goes through multipart (init/parts/
+    complete) and reads back byte-identical; small payloads fall back to
+    a plain PUT; open_object streams the body back in chunks."""
+    from coltt_tpu.storage.s3 import S3ObjectStore
+    from tests.fake_s3 import start_fake_s3
+
+    srv, endpoint = start_fake_s3()
+    try:
+        s3 = S3ObjectStore(endpoint)
+        s3.create_bucket("mp")
+        # force multipart with a small part size
+        s3._PART_SIZE = 1024
+        payload = bytes(range(256)) * 40  # 10240 B -> 10 parts
+        def writer(f):
+            for i in range(0, len(payload), 700):  # odd chunk size
+                f.write(payload[i:i + 700])
+        s3.put_object_stream("mp", "big.bin", writer)
+        assert s3.get_object("mp", "big.bin") == payload
+        # streaming read with short reads
+        with s3.open_object("mp", "big.bin") as f:
+            got = b""
+            while True:
+                b = f.read(333)
+                if not b:
+                    break
+                got += b
+        assert got == payload
+        # small payload -> plain PUT fallback
+        s3.put_object_stream("mp", "small.bin", lambda f: f.write(b"tiny"))
+        assert s3.get_object("mp", "small.bin") == b"tiny"
+        assert s3.open_object("mp", "missing.bin") is None
+    finally:
+        srv.shutdown()
+
+
+def test_local_put_object_stream_roundtrip(tmp_path):
+    from coltt_tpu.storage.objectstore import LocalObjectStore
+
+    store = LocalObjectStore(str(tmp_path / "os"))
+    store.create_bucket("b", versioning=True)
+    store.put_object_stream("b", "x", lambda f: f.write(b"one"))
+    store.put_object_stream("b", "x", lambda f: (f.write(b"tw"), f.write(b"o")))
+    assert store.get_object("b", "x") == b"two"
+    assert store.list_versions("b", "x") == [1]  # first version retained
+    with store.open_object("b", "x") as f:
+        assert f.read() == b"two"
+    assert store.open_object("b", "nope") is None

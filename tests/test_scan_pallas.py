@@ -201,3 +201,114 @@ def test_fused_all_invalid(rng):
     s, i = fused_scan_topk(
         jnp.asarray(q), codes, scale, sqnorm, valid, k=3, metric=Metric.COSINE)
     assert np.isneginf(np.asarray(s)).all()
+
+
+def test_slot_plan_shapes():
+    """1M-row serving shape (padded to 8192 quanta): nbins = 31488 must
+    split into 41 lane-aligned members of width 768."""
+    from coltt_tpu.ops.scan_pallas import _slot_plan
+
+    assert _slot_plan(31488) == (41, 768)       # 1,007,616 rows / bin 32
+    s, w = _slot_plan(16384)
+    assert s * w == 16384 and w % 128 == 0
+    assert _slot_plan(7) is None
+
+
+def test_fused_slot2_matches_exact_on_planted(rng):
+    """slot2 keeps two survivors per strided slot: planted hits in
+    distinct bins AND distinct slots must come back exactly."""
+    vecs, codes, scale, sqnorm = _store(rng)
+    q = rng.standard_normal((3, D)).astype(np.float32)
+    valid = jnp.ones((N,), bool)
+    planted = [17, BIN_ROWS * 5 + 3, BIN_ROWS * 20, BIN_ROWS * 40 + 99,
+               BIN_ROWS * 60 + 1]
+    v2 = vecs.copy()
+    for j, slot in enumerate(planted):
+        v2[slot] = q[0] * (1.0 + 0.01 * j)
+    codes, scale = quantize(jnp.asarray(v2), Quantization.F8)
+    deq = dequantize(codes, scale)
+    sqnorm = jnp.sum(deq * deq, axis=1)
+
+    s_ex, i_ex = fused_scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=K,
+        metric=Metric.COSINE, final="exact")
+    s_s2, i_s2 = fused_scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=K,
+        metric=Metric.COSINE, final="slot2")
+    assert set(np.asarray(i_s2)[0].tolist()) == set(planted)
+    # member-tag injection perturbs values by ~2^-12 of the bias only
+    np.testing.assert_allclose(
+        np.asarray(s_s2)[0], np.asarray(s_ex)[0], rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("metric", [Metric.COSINE, Metric.EUCLIDEAN])
+def test_fused_slot2_overlap_on_random(rng, metric):
+    """On random data slot2 may lose an item only to a double collision
+    inside one slot — overwhelmingly unlikely at these sizes."""
+    vecs, codes, scale, sqnorm = _store(rng)
+    q = rng.standard_normal((4, D)).astype(np.float32)
+    valid = jnp.ones((N,), bool)
+    _, i_ex = fused_scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=K, metric=metric,
+        final="exact")
+    _, i_s2 = fused_scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=K, metric=metric,
+        final="slot2")
+    for r in range(4):
+        overlap = set(np.asarray(i_s2)[r].tolist()) & set(
+            np.asarray(i_ex)[r].tolist())
+        assert len(overlap) >= K - 1
+
+
+def test_fused_slot2_tombstones_and_ids(rng):
+    """Tombstoned rows must never surface through slot2 (their penalty
+    keys stay hugely negative through the member-tag injection)."""
+    vecs, codes, scale, sqnorm = _store(rng)
+    q = vecs[7:8]
+    valid = np.ones(N, bool)
+    valid[7] = False
+    s, i = fused_scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, jnp.asarray(valid), k=3,
+        metric=Metric.COSINE, final="slot2")
+    assert 7 not in np.asarray(i)[0].tolist()
+
+
+def test_fused_slot2_wide_k_falls_back(rng):
+    """k wider than the reduced slot2 set must fall back to exact, not
+    crash or truncate."""
+    vecs, codes, scale, sqnorm = _store(rng, n=2048)  # nbins = 128 -> width 4
+    q = rng.standard_normal((2, D)).astype(np.float32)
+    valid = jnp.ones((2048,), bool)
+    s_ex, i_ex = fused_scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=64, final="exact")
+    s_s2, i_s2 = fused_scan_topk(
+        jnp.asarray(q), codes, scale, sqnorm, valid, k=64, final="slot2")
+    np.testing.assert_array_equal(np.asarray(i_ex), np.asarray(i_s2))
+
+
+def test_unit_i8_slot2_matches_exact(rng):
+    """Unit-norm int8 path: slot2 vs exact on planted data — identical id
+    sets (dots perturbed only in the low member bits)."""
+    from coltt_tpu.ops.scan_pallas import (
+        fused_unit_i8_neg_topk, unit_i8_bin_live, chunk_for,
+    )
+
+    n, d = 8192, 128
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    planted = [5, BIN_ROWS * 9 + 2, BIN_ROWS * 33, BIN_ROWS * 71 + 8]
+    for j, slot in enumerate(planted):
+        vecs[slot] = q[0] * (2.0 + 0.05 * j)
+    un = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    gscale = jnp.float32(np.abs(un).max() / 127.0)
+    codes = jnp.asarray(np.round(un / float(gscale)).clip(-127, 127),
+                        jnp.int8)
+    live = jnp.asarray(unit_i8_bin_live(np.ones(n, bool), chunk_for(n)))
+    ne, ie = fused_unit_i8_neg_topk(
+        jnp.asarray(q), codes, gscale, live, k=len(planted), final="exact")
+    ns, is_ = fused_unit_i8_neg_topk(
+        jnp.asarray(q), codes, gscale, live, k=len(planted), final="slot2")
+    assert set(np.asarray(is_)[0].tolist()) == set(planted)
+    assert set(np.asarray(ie)[0].tolist()) == set(planted)
+    np.testing.assert_allclose(np.asarray(ns), np.asarray(ne),
+                               rtol=1e-3, atol=1e-3)

@@ -158,6 +158,14 @@ def test_kv_merge_nonblocking_with_concurrent_writes(tmp_path):
     kv.put(b"expiring", b"gone", ttl=0.05)
     _time.sleep(0.1)
 
+    # isolate LOCK stalls from interpreter noise: gen-2 GC pauses over the
+    # 100k-entry index measured 100-175 ms and land on writer timings
+    # regardless of the merge (the server freezes gc after boot for the
+    # same reason, __main__.py)
+    import gc
+    gc.collect()
+    gc.freeze()
+
     merge_done = threading.Event()
     merge_err = []
 
@@ -192,7 +200,13 @@ def test_kv_merge_nonblocking_with_concurrent_writes(tmp_path):
     # the merge of 100k records takes long enough that a blocking merge
     # would show up as one giant write latency; the chunked merge must not
     assert len(lat) >= 20, "writer made almost no progress during merge"
-    assert max(lat) < 1.0, f"a write stalled {max(lat):.2f}s behind the merge"
+    # r04 bound: the merge appends in ~64-record sub-batches with a GIL
+    # yield between them and retires segment files outside the lock, so a
+    # writer waits behind at most one buffered WAL append (measured max
+    # ~41 ms with gc frozen) — the r03 shape (lock held across a
+    # 1k-record chunk's disk I/O) stalled writers ~1 s
+    gc.unfreeze()
+    assert max(lat) < 0.1, f"a write stalled {max(lat)*1e3:.0f}ms behind the merge"
 
     def check(db):
         for key, val in list(overwritten.items())[:500]:
