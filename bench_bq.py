@@ -10,7 +10,11 @@ surface runs (tests/test_api.py::test_core_bq_collection_via_rpc).
 
 At 10M a bf16 rerank copy (15 GB) would crowd HBM, so 10M runs rerank-free
 (ranking = the random-hyperplane angle estimate alone — the honest
-memory-minimal configuration); 1M runs both with and without rerank.
+memory-minimal configuration) AND with an f8 (e4m3) rerank copy (7.5 GB —
+fits beside the 960 MB codes); 1M runs with bf16 rerank and rerank-free.
+r04 methodology: recall on 512 queries, QPS median-of-5 after 2 warm
+rounds (the r03 entry claimed 1M/10M numbers that were never measured —
+this file's first real cluster-corpus run IS the r04 one).
 Corpus: the same embedding-like cluster mixture the PQ/HNSW benches use
 (16k centers x sigma 0.35) — on i.i.d. gaussians the top-of-corpus cosine
 spread (~0.05) sits BELOW the 768-bit Hamming angle resolution (~0.06
@@ -46,6 +50,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    import coltt_tpu.ops.bq as bq_mod
     from coltt_tpu.ops.bq import bq_encode
     from coltt_tpu.ops.distance import Metric
     from coltt_tpu.ops.quant import Quantization
@@ -53,7 +58,7 @@ def main():
     from coltt_tpu.parallel.mesh import BATCH_AXIS, make_mesh
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    d, k, batch, depth = 768, 10, 2048, 4
+    d, k, depth = 768, 10, 4
     log(f"devices: {jax.devices()}")
     mesh = make_mesh(num_shards=len(jax.devices()), batch=1)
     qspec = NamedSharding(mesh, P(BATCH_AXIS))
@@ -79,12 +84,23 @@ def main():
     def gen_slab(i, rows):
         return _mk(slab_key(i), rows)
 
-    for n, use_rerank in ((1_000_000, True), (1_000_000, False),
-                          (10_000_000, False)):
-        tag = f"{n//1_000_000}M{'+rr' if use_rerank else ''}"
+    legs = ((1_000_000, "bf16"), (1_000_000, None),
+            (10_000_000, "f8"), (10_000_000, None))
+    if "--only10m" in sys.argv:
+        legs = ((10_000_000, "f8"), (10_000_000, None))
+    for n, rr_mode in legs:
+        tag = f"{n//1_000_000}M" + (f"+rr_{rr_mode}" if rr_mode else "")
+        # 10M + the 7.9 GB f8 rerank copy leaves ~6 GB headroom, and the
+        # 690 s slab ingest fragments the heap: batch 2048 AND 1024 both
+        # OOM'd in the QPS loop. Shrink the query batch and the blocked
+        # Hamming scan's transient budget for this leg.
+        batch = 512 if (n > 1_000_000 and rr_mode) else 2048
+        bq_mod._BQ_TRANSIENT_BYTES = (
+            256 << 20 if (n > 1_000_000 and rr_mode) else 1 << 30
+        )
         nslabs = -(-n // SLAB)
         t0 = time.perf_counter()
-        if use_rerank:
+        if rr_mode == "bf16" and n <= SLAB:
             vecs = gen_slab(0, n)  # 1M only: fits comfortably
             idx = DistributedFlatIndex(
                 mesh, vecs, metric=Metric.COSINE,
@@ -92,16 +108,24 @@ def main():
             )
             del vecs
         else:
-            parts = []
+            parts, rr_parts = [], []
             for i in range(nslabs):
                 rows = min(SLAB, n - i * SLAB)
                 s = gen_slab(i, rows)
                 parts.append(np.asarray(bq_encode(s)))
+                if rr_mode == "f8":
+                    # f8 (e4m3) rerank copy: 1 byte/dim — the 10M-scale
+                    # configuration where a bf16 copy (15 GB) can't fit
+                    rr_parts.append(
+                        np.asarray(s.astype(jnp.float8_e4m3fn))
+                    )
                 del s
             idx = DistributedFlatIndex.from_bq_codes(
-                mesh, np.concatenate(parts), dim=d
+                mesh, np.concatenate(parts), dim=d,
+                rr_codes=(np.concatenate(rr_parts) if rr_parts else None),
+                rerank_dtype=jnp.float8_e4m3fn,
             )
-            del parts
+            del parts, rr_parts
         jax.block_until_ready(idx.codes)
         log(f"[{tag}] ingest+pack: {time.perf_counter()-t0:.1f}s "
             f"(packed {idx.codes.nbytes/2**20:.0f} MiB)")
@@ -116,20 +140,22 @@ def main():
         idx.search(q_batches[0], k, oversample=16)
         log(f"[{tag}] warmup: {time.perf_counter()-t0:.1f}s")
 
-        best_qps = 0.0
-        for _ in range(3):
+        qps_rounds = []
+        for r in range(7):
             t0 = time.perf_counter()
             for i in range(depth):
                 idx.search(q_batches[i], k, oversample=16)
             dt = time.perf_counter() - t0
-            best_qps = max(best_qps, depth * batch / dt)
+            if r >= 2:
+                qps_rounds.append(depth * batch / dt)
+        best_qps = float(np.median(qps_rounds))
 
         # recall vs exact fp32 cosine over the same data, slab-streamed
-        gq = q_batches[depth][:64]
+        gq = q_batches[depth][:512]
         jq = jnp.asarray(gq)
         qn = jnp.linalg.norm(jq, axis=1, keepdims=True)
-        best_d = jnp.full((64, k), -jnp.inf)
-        best_i = jnp.full((64, k), -1, jnp.int32)
+        best_d = jnp.full((len(gq), k), -jnp.inf)
+        best_i = jnp.full((len(gq), k), -1, jnp.int32)
         for i in range(nslabs):
             rows = min(SLAB, n - i * SLAB)
             s = gen_slab(i, rows)
@@ -148,14 +174,26 @@ def main():
             len(set(gt[i]) & set(got[i])) / k for i in range(len(gq))
         ]))
         log(f"[{tag}] QPS {best_qps:.0f}; recall@10 {recall:.3f}")
-        results[tag] = {"qps": round(best_qps, 1),
+        results[tag] = {"qps": round(best_qps, 1), "batch": batch,
                         "recall_at_10": round(recall, 4)}
         del idx
+        # merge with any earlier partial run's rows
+        try:
+            with open("BENCH_bq.json") as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            prev = {}
+        prev.update(results)
+        results = prev
+        with open("BENCH_bq.json", "w") as fh:
+            json.dump(results, fh, indent=1)
 
+    with open("BENCH_bq.json", "w") as fh:
+        json.dump(results, fh, indent=1)
     baseline_qps = 40.0  # reference highCpu FLAT 1M x 128d (BASELINE.md)
-    head = results["10M"]
+    head = results["10M+rr_f8"]
     print(json.dumps({
-        "metric": "BQ packed-Hamming QPS/chip at recall@10 "
+        "metric": "BQ packed-Hamming + f8 rerank QPS/chip at recall@10 "
                   "(10M x 768d, oversample=16, batch=2048)",
         "value": head["qps"],
         "unit": "qps",

@@ -39,7 +39,8 @@ def main():
     from coltt_tpu.ops.topk import compute_recall
     from coltt_tpu.store.flat import FlatStore
 
-    n, d, k = 1_000_000, 768, 10
+    n = int(os.environ.get("BENCH_N", 1_000_000))  # small for CPU smoke
+    d, k = 768, 10
     batch = 512
     rounds = 7  # median of 5 after 2 warm
     n_recall = 512

@@ -60,6 +60,9 @@ def main():
     descent = 0
     if "--descent" in sys.argv:
         descent = int(sys.argv[sys.argv.index("--descent") + 1])
+    refine_ef = 0
+    if "--refine" in sys.argv:  # clustered + one beam-refinement round
+        refine_ef = int(sys.argv[sys.argv.index("--refine") + 1])
     idx = HnswIndex(d, metric=Metric.COSINE,
                     config=HnswConfig(m=16, ef_construction=100, ef=128,
                                       algorithm="heuristic"),
@@ -69,9 +72,12 @@ def main():
         idx.bulk_build(vecs, refine_rounds=1, batch_rows=4096)
     else:
         idx.bulk_build_clustered(vecs, descent_rounds=descent)
+        if refine_ef:
+            idx.beam_refine(rounds=1, ef=refine_ef, batch_rows=4096)
     build_s = time.perf_counter() - t0
     builder = ("bulk_build(beam)" if beam
-               else f"bulk_build_clustered(descent={descent})")
+               else f"bulk_build_clustered(descent={descent}"
+                    + (f",refine_ef={refine_ef}" if refine_ef else "") + ")")
     log(f"{builder} 1M x {d}d: {build_s:.1f}s "
         f"({n/build_s:.0f} inserts/s; reference one-by-one: ~1.7k/s)")
 

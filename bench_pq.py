@@ -69,7 +69,7 @@ def main():
     # 16 GB HBM at 1<<19 next to the ~10 GB steady state
     batch = 512
     depth = 8
-    n_eval = 64
+    n_eval = 256  # r04: 2560 gt pairs (std ~6e-3 at p~.85; was 64 queries)
     n_centers = 16384
     sigma = 0.35
     # Residual (coarse+PQ) by default: a 16384-centroid whole-vector
@@ -80,6 +80,12 @@ def main():
     # 5's recall>=0.85 bar at 10M). ``--plain`` reruns the r1/r2
     # plain-OPQ dsub=4 configuration for comparison.
     plain = "--plain" in sys.argv
+    # --nocache: pq_cache=False serving — codes only, no f8 reconstruction
+    # cache. This is what frees the HBM for dsub=2 (M=384, 386 B/row) at
+    # 10M: the f8 cache's 7.7 GB is exactly what made coarse+M=384 OOM in
+    # r03 (VERDICT r3 item 3 names this experiment). Serving is blockwise
+    # ADC (+ exact-reconstruction rerank of the shortlist).
+    nocache = "--nocache" in sys.argv
     dsub = 4
     if "--dsub" in sys.argv:
         dsub = int(sys.argv[sys.argv.index("--dsub") + 1])
@@ -139,11 +145,19 @@ def main():
             lax.dynamic_update_slice_in_dim(f8_sqn, q8, off, axis=0),
         )
 
+    @partial(jax.jit, donate_argnums=(0,))
+    def fold_codes_only(pq_codes, chunk, codebook, off):
+        pqc, _ = pq_encode(chunk, codebook)
+        return lax.dynamic_update_slice_in_dim(pq_codes, pqc, off, axis=0)
+
     cw = m + (2 if coarse_c else 0)  # residual: 2-byte cid prefix
     pq_codes = jnp.zeros((n_total, cw), jnp.uint8)
-    f8_codes = jnp.zeros((n_total, d), jnp.float8_e4m3fn)
-    f8_scale = jnp.zeros((n_total, 1), jnp.float32)
-    f8_sqn = jnp.zeros((n_total,), jnp.float32)
+    if nocache:
+        f8_codes = f8_scale = f8_sqn = None
+    else:
+        f8_codes = jnp.zeros((n_total, d), jnp.float8_e4m3fn)
+        f8_scale = jnp.zeros((n_total, 1), jnp.float32)
+        f8_sqn = jnp.zeros((n_total,), jnp.float32)
     gt_neg = gt_ids = None
     codebook = None
     t_ingest0 = time.perf_counter()
@@ -171,10 +185,14 @@ def main():
             gt_neg, gt_ids = neg, ids
         else:
             gt_neg, gt_ids = merge_topk(gt_neg, gt_ids, neg, ids, k=k)
-        pq_codes, f8_codes, f8_scale, f8_sqn = fold_chunk(
-            pq_codes, f8_codes, f8_scale, f8_sqn, chunk,
-            codebook, ci * chunk_n,
-        )
+        if nocache:
+            pq_codes = fold_codes_only(pq_codes, chunk, codebook,
+                                       ci * chunk_n)
+        else:
+            pq_codes, f8_codes, f8_scale, f8_sqn = fold_chunk(
+                pq_codes, f8_codes, f8_scale, f8_sqn, chunk,
+                codebook, ci * chunk_n,
+            )
         del chunk
         np.asarray(gt_neg[0, 0])  # sync point (fetch forces completion)
         log(f"chunk {ci+1}/{n_chunks} ingested "
@@ -210,6 +228,23 @@ def main():
                                 k=k, metric=Metric.COSINE, rotation=rot,
                                 coarse=codebook.coarse)
 
+    def dispatch_adc_rerank(q):
+        # no-cache production path: ADC shortlist (4k) + exact PQ
+        # reconstruction rerank — the recall step the f8cache path gets
+        # from pq_rerank_neg_topk, without the 7.7 GB cache
+        from coltt_tpu.ops.pq import pq_rerank_neg_topk
+
+        negd, ids = pq_scan_neg_topk(
+            q, pq_codes, codebook.centroids, pq_sqn, valid,
+            k=4 * k, metric=Metric.COSINE, rotation=rot,
+            coarse=codebook.coarse,
+        )
+        qr = q @ rot if rot is not None else q
+        return pq_rerank_neg_topk(qr, negd, ids, pq_codes,
+                                  codebook.centroids, k=k,
+                                  metric=Metric.COSINE,
+                                  coarse=codebook.coarse)
+
     kq2, key = jax.random.split(key)
     q_batches = [
         gen_rows(jax.random.fold_in(kq2, i), batch) for i in range(depth)
@@ -217,18 +252,23 @@ def main():
     np.asarray(q_batches[-1][0, 0])
 
     results = {}
-    for name, fn in [("f8cache", dispatch_cache), ("adc", dispatch_adc)]:
+    paths = ([("adc+rerank", dispatch_adc_rerank), ("adc", dispatch_adc)]
+             if nocache else
+             [("f8cache", dispatch_cache), ("adc", dispatch_adc)])
+    for name, fn in paths:
         t0 = time.perf_counter()
         np.asarray(fn(q_batches[0])[0])
         log(f"{name} warmup (compile): {time.perf_counter()-t0:.1f}s")
-        best = 0.0
-        for _ in range(3):
+        qps_rounds = []
+        for r in range(7):
             t0 = time.perf_counter()
             outs = [fn(q_batches[i]) for i in range(depth)]
             total = sum(o[0].sum() for o in outs)  # one fetch syncs all
             np.asarray(total)
             dt = time.perf_counter() - t0
-            best = max(best, depth * batch / dt)
+            if r >= 2:
+                qps_rounds.append(depth * batch / dt)
+        best = float(np.median(qps_rounds))
         _, ids = fn(eval_q)
         ids = np.asarray(ids)
         rec = float(np.mean(
@@ -237,10 +277,12 @@ def main():
         log(f"{name}: {best:.0f} QPS, recall@10 vs fp32 {rec:.3f}")
         results[name] = (best, rec)
 
-    qps, rec = results["f8cache"]
+    qps, rec = results["adc+rerank" if nocache else "f8cache"]
     print(json.dumps({
         "metric": (f"{'OPQ' if plain else f'coarse{coarse_c}-residual-OPQ'}"
-                   f"(M={m})+f8-cache+reconstruction-rerank QPS/chip at "
+                   f"(M={m})+"
+                   f"{'blockwise-ADC' if nocache else 'f8-cache'}"
+                   "+reconstruction-rerank QPS/chip at "
                    "recall@10 (10M x 768d clustered+spectrum, batch=512)"),
         "value": round(qps, 1),
         "unit": "qps",

