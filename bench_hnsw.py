@@ -118,6 +118,43 @@ def main():
     log(f"p50 batch latency {p50_batch_ms:.2f} ms; QPS {best_qps:.0f}; "
         f"recall@10 {recall:.3f}")
 
+    # interleaved mutate/search (VERDICT r3 item 4b): search QPS while a
+    # writer thread inserts/removes — exercises the dirty-row scatter
+    # update of the capacity-shaped device cache (a full re-upload or
+    # per-insert recompile would crater this number)
+    mutate_qps = None
+    if "--mutate" in sys.argv:
+        import threading
+        extra = mk_queries(4096)
+        stop = threading.Event()
+        inserted = []
+
+        def writer():
+            i = 0
+            while not stop.is_set() and i < len(extra):
+                slot = idx.insert(extra[i])
+                inserted.append(slot)
+                if i % 3 == 2:
+                    idx.remove(inserted[-2])
+                i += 1
+
+        t = threading.Thread(target=writer)
+        t.start()
+        qps_rounds = []
+        for r in range(7):
+            t0 = time.perf_counter()
+            for i in range(depth):
+                idx.search(q_batches[i], k)
+            dt = time.perf_counter() - t0
+            if r >= 2:
+                qps_rounds.append(depth * batch / dt)
+        stop.set()
+        t.join()
+        mutate_qps = float(np.median(qps_rounds))
+        log(f"interleaved mutate/search: {mutate_qps:.0f} QPS "
+            f"({len(inserted)} inserts during measurement) vs "
+            f"{best_qps:.0f} read-only")
+
     baseline_qps = 1.0 / 0.87e-3  # reference 0.87 ms/query
     print(json.dumps({
         "metric": "HNSW bf16 QPS/chip at recall@10 "
@@ -130,6 +167,8 @@ def main():
         "build_seconds": round(build_s, 1),
         "build_rows_per_s": round(n / build_s, 1),
         "builder": builder,
+        "mutate_search_qps": (round(mutate_qps, 1)
+                              if mutate_qps is not None else None),
         "devices": len(jax.devices()),
     }))
 
