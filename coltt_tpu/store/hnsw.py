@@ -1071,25 +1071,27 @@ class HnswIndex:
     # -- clustered bulk construction (ingest-rate path) ----------------------
     def bulk_build_auto(self, vectors: np.ndarray, **kw) -> np.ndarray:
         """Builder policy for engine ingest: the HYBRID build — clustered
-        MXU candidate blocks, then one ef=64 beam-refinement round over
+        MXU candidate blocks, then one ef=32 beam-refinement round over
         the finished graph. Measured at 1M x 128d (bench_hnsw.py,
         16k-center corpus, 1024-query recall, r04):
 
           beam builder (r03 default)      810 rows/s   recall@10 .945
           clustered only                2,878 rows/s   .798
           clustered + NN-descent x1     1,738 rows/s   .808
-          clustered + beam_refine ef64  1,216 rows/s   .971  <- default
+          clustered + beam_refine ef64  1,216 rows/s   .9714
+          clustered + beam_refine ef32  1,647 rows/s   .969   <- default
 
-        The hybrid dominates the old beam default on BOTH axes (1.5x the
-        ingest rate, +2.6 recall points): the clustered blocks supply
+        The hybrid dominates the old beam default on BOTH axes (2x the
+        ingest rate, +2.4 recall points) and reaches the reference's
+        ~1.7k rows/s one-by-one insert rate: the clustered blocks supply
         dense local candidates cheaply, and the single beam round over
         the complete graph restores the cross-cluster edges the partition
-        misses. Callers that want raw ingest rate use
-        ``bulk_build_clustered`` directly (recall trade documented
-        there); sequential-parity construction remains ``insert`` /
-        ``bulk_build``."""
+        misses (ef=32 recovers within .003 of ef=64 at 35% more rate).
+        Callers that want raw ingest rate use ``bulk_build_clustered``
+        directly (recall trade documented there); sequential-parity
+        construction remains ``insert`` / ``bulk_build``."""
         out = self.bulk_build_clustered(vectors, **kw)
-        self.beam_refine(rounds=1, ef=64, batch_rows=4096)
+        self.beam_refine(rounds=1, ef=32, batch_rows=4096)
         return out
 
     @_locked
