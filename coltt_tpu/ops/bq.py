@@ -155,7 +155,17 @@ def bq_scan_neg_topk(queries_packed, codes_packed, valid, *, k: int):
                 qi, sl(codes_packed),
                 None if valid is None else sl(valid),
             )
-            vals, idx = lax.top_k(neg, kb)
+            # per-block selection is the wall once the scan rides the MXU
+            # (an exact [Q, ~100k] sort per block dominated the batch);
+            # ApproxTopK here is nearly free recall-wise because integer
+            # Hamming distances are tie-saturated — a dropped candidate at
+            # the shortlist tail is replaced by an equal-distance one and
+            # the rerank re-scores both identically. CPU lowers this to an
+            # exact selection, so tests stay bit-equal.
+            if kb < neg.shape[1]:
+                vals, idx = lax.approx_max_k(neg, kb, recall_target=0.95)
+            else:
+                vals, idx = lax.top_k(neg, kb)
             return vals, (idx + i * block).astype(jnp.int32)
 
         vals, ids = lax.map(mxu_body, jnp.arange(blocks))
