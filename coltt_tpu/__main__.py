@@ -116,15 +116,17 @@ def main() -> None:
 
     servicer = build_servicer(cfg.mode, cfg)
     server = create_server(servicer, cfg)
-    server.start()
     # freeze the boot-time object graph out of the cyclic GC: gen-2
     # collections over a loaded engine (100k+ index entries) measured
     # 100-175 ms pauses that land on request latencies; frozen objects
     # are never scanned again (refcounting still reclaims request-scoped
-    # garbage immediately)
+    # garbage immediately). Freeze BEFORE start(): once the listener is
+    # up, in-flight request objects could be swept into the frozen set,
+    # where cyclic request garbage would become permanently unreclaimable.
     import gc
     gc.collect()
     gc.freeze()
+    server.start()
     log.info(
         "server started",
         extra={"kv": {"mode": cfg.mode, "addr": cfg.root_layer.bind_address}},

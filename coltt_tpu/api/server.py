@@ -684,6 +684,26 @@ def _object_store(cfg: Config):
     return LocalObjectStore(cfg.storage.object_store_root)
 
 
+def _serving_mesh(cfg: Config):
+    """[serving].shards -> device mesh (None = single-device serving).
+    shards=0 uses every local device."""
+    shards = int(cfg.serving.shards)
+    if shards == 1:
+        return None
+    import jax
+
+    from coltt_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    if shards == 0:
+        shards = n_dev
+    if shards > n_dev:
+        raise ValueError(
+            f"[serving].shards={shards} exceeds available devices ({n_dev})"
+        )
+    return make_mesh(shards) if shards > 1 else None
+
+
 def build_servicer(mode: str, cfg: Config):
     """Mode dispatcher (NewRootLayer parity, root_layer/root_layer.go:30-37)."""
     if mode == "edge":
@@ -692,6 +712,11 @@ def build_servicer(mode: str, cfg: Config):
             batch_max=cfg.serving.scan_batch_max,
             batch_wait_s=cfg.serving.scan_batch_wait_ms / 1e3,
             pq_opq_iters=cfg.serving.pq_opq_iters,
+            mesh=_serving_mesh(cfg),
+            precompile_batches=tuple(
+                int(b) for b in cfg.serving.precompile_batches.split(",")
+                if b.strip()
+            ),
         ))
     if mode in ("root", "core"):
         return CoreServicer(CoreEngine(

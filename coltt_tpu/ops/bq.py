@@ -117,14 +117,25 @@ def _mxu_hamming_block(qi, cp, valid):
     return neg
 
 
-@partial(jax.jit, static_argnames=("k",))
-def bq_scan_neg_topk(queries_packed, codes_packed, valid, *, k: int):
+@partial(jax.jit, static_argnames=("k", "exact"))
+def bq_scan_neg_topk(queries_packed, codes_packed, valid, *, k: int,
+                     exact: bool = False):
     """Hamming top-k over packed codes.
 
     ``queries_packed [Q, W]`` / ``codes_packed [N, W]`` uint32,
     ``valid [N]`` bool (tombstones). Returns ``(neg_hamming [Q, k] f32,
     ids [Q, k] int32)`` — negated so larger is better, matching every other
     ``*_neg_topk`` merge key (invalid rows carry -inf / id untrimmed).
+
+    Approximation disclosure: on TPU, scans large enough to take the
+    multi-block MXU path use ``lax.approx_max_k`` (recall_target 0.95)
+    for the per-block selection — candidates at the shortlist TAIL may be
+    swapped for equal-or-near Hamming ties, which is recall-free when the
+    caller oversamples for a rerank but makes the raw result set
+    approximate. Pass ``exact=True`` to force exact per-block selection
+    (FlatStore does this automatically when ``bq_rerank=False``, where
+    these values ARE the final ranking). On CPU both forms lower to exact
+    selection.
     """
     q, w = queries_packed.shape
     n = codes_packed.shape[0]
@@ -161,8 +172,9 @@ def bq_scan_neg_topk(queries_packed, codes_packed, valid, *, k: int):
             # Hamming distances are tie-saturated — a dropped candidate at
             # the shortlist tail is replaced by an equal-distance one and
             # the rerank re-scores both identically. CPU lowers this to an
-            # exact selection, so tests stay bit-equal.
-            if kb < neg.shape[1]:
+            # exact selection, so tests stay bit-equal. exact=True opts
+            # out (no-rerank stores, ground-truthing).
+            if kb < neg.shape[1] and not exact:
                 vals, idx = lax.approx_max_k(neg, kb, recall_target=0.95)
             else:
                 vals, idx = lax.top_k(neg, kb)

@@ -102,10 +102,37 @@ def _local_scan_rerank_merge(codes, scale, sqnorm, valid, rr_codes, queries,
     return _merge_partials(negd, ids, codes.shape[0], k)
 
 
+def _local_scan_pqrr_merge(codes, scale, sqnorm, valid, pqcodes, queries,
+                           centroids, coarse,
+                           *, k, oversample, metric, compute_dtype,
+                           block_rows=None, approx_recall=None,
+                           fused=False, final="auto"):
+    """PQ-cache serving body: f8-cache scan shortlists k*oversample, then a
+    shard-LOCAL exact-PQ-reconstruction rerank (ops/pq.py
+    pq_rerank_neg_topk — the gather stays on this shard's code rows), then
+    the collective merge. This is FlatStore's pq_cache+oversample path
+    under a mesh (VERDICT r4 #1: the engines' PQ collections must serve
+    multi-device without losing the rerank's recall)."""
+    shortlist = min(max(k * oversample, k), codes.shape[0])
+    negd, ids = _scan(
+        queries, codes, scale, sqnorm, valid,
+        k=shortlist, metric=metric, compute_dtype=compute_dtype,
+        block_rows=block_rows, approx_recall=approx_recall, fused=fused,
+        final=final,
+    )
+    from coltt_tpu.ops.pq import pq_rerank_neg_topk
+    negd, ids = pq_rerank_neg_topk(
+        queries, negd, ids, pqcodes, centroids,
+        k=min(k, negd.shape[1]), metric=metric, coarse=coarse,
+    )
+    return _merge_partials(negd, ids, codes.shape[0], k)
+
+
 @partial(
     jax.jit,
     static_argnames=("mesh", "k", "metric", "compute_dtype", "block_rows",
-                     "approx_recall", "oversample", "fused", "final"),
+                     "approx_recall", "oversample", "fused", "final",
+                     "bypass_single"),
 )
 def sharded_scan_topk(
     mesh: Mesh,
@@ -124,6 +151,10 @@ def sharded_scan_topk(
     oversample: int = 8,
     fused: bool = False,
     final: str = "auto",
+    pq_rerank=None,  # (pqcodes P(shard), centroids repl, coarse repl|None)
+    bypass_single: bool = True,  # False: run shard_map even on 1 device
+    # (equivalence checks of the fused-kernel x shard_map interaction on
+    # real hardware, where multi-chip meshes don't exist — VERDICT r4 #5)
 ) -> Tuple[jax.Array, jax.Array]:
     """Global top-k over a row-sharded corpus.
 
@@ -132,6 +163,9 @@ def sharded_scan_topk(
     ``rr_codes`` (sharded like codes) enables the bf16 rerank stage: the
     low-bit scan shortlists k*oversample per shard, the shortlist is
     re-scored against rr_codes, and only then do partials merge.
+    ``pq_rerank`` (mutually exclusive with rr_codes) enables the PQ-cache
+    serving shape instead: shortlist from the f8 cache, shard-local
+    exact-PQ-reconstruction rerank, merge.
     ``fused=True`` runs each local scan through the Pallas fused kernel
     (ops/scan_pallas.py — int8 MXU path, in-VMEM bin selection; the
     fastest serving configuration measured, ~1.4x the XLA ApproxTopK
@@ -139,7 +173,27 @@ def sharded_scan_topk(
     global ids [Q, k]).
     """
     metric = Metric.parse(metric)
-    if mesh.size == 1:
+    if pq_rerank is not None and rr_codes is not None:
+        raise ValueError("pq_rerank and rr_codes are mutually exclusive")
+    if mesh.size == 1 and bypass_single:
+        if pq_rerank is not None:
+            from coltt_tpu.ops.pq import pq_rerank_neg_topk
+            pqcodes, centroids, coarse = pq_rerank
+            shortlist = min(max(k * oversample, k), codes.shape[0])
+            negd, ids = _scan(
+                queries, codes, scale, sqnorm, valid,
+                k=shortlist, metric=metric, compute_dtype=compute_dtype,
+                block_rows=block_rows, approx_recall=approx_recall,
+                fused=fused, final=final,
+            )
+            negd, ids = pq_rerank_neg_topk(
+                queries, negd, ids, pqcodes, centroids,
+                k=min(k, negd.shape[1]), metric=metric, coarse=coarse,
+            )
+            score = jnp.where(
+                jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric)
+            )
+            return score, ids
         # single device: the collective layer is a no-op and shard_map only
         # adds dispatch overhead (measured 31 ms vs 6 ms per 512-query
         # batch on v5e) — scan directly
@@ -166,7 +220,39 @@ def sharded_scan_topk(
             jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric)
         )
         return score, ids
-    if rr_codes is None:
+    if pq_rerank is not None:
+        pqcodes, centroids, coarse = pq_rerank
+        body = partial(
+            _local_scan_pqrr_merge,
+            k=k, oversample=oversample, metric=metric,
+            compute_dtype=compute_dtype, block_rows=block_rows,
+            approx_recall=approx_recall, fused=fused, final=final,
+        )
+        if coarse is None:
+            fn = jax.shard_map(
+                lambda c, s, sq, v, pqc, q, cen: body(c, s, sq, v, pqc, q,
+                                                      cen, None),
+                mesh=mesh,
+                in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                          P(SHARD_AXIS), P(SHARD_AXIS), P(BATCH_AXIS), P()),
+                out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+                check_vma=False,
+            )
+            negd, ids = fn(codes, scale, sqnorm, valid, pqcodes, queries,
+                           centroids)
+        else:
+            fn = jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
+                          P(SHARD_AXIS), P(SHARD_AXIS), P(BATCH_AXIS), P(),
+                          P()),
+                out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+                check_vma=False,
+            )
+            negd, ids = fn(codes, scale, sqnorm, valid, pqcodes, queries,
+                           centroids, coarse)
+    elif rr_codes is None:
         fn = jax.shard_map(
             partial(
                 _local_scan_merge,
@@ -283,7 +369,10 @@ def _local_bq_shortlist(codes, valid, rr_codes, qpacked, queries, *,
     distance; without a rerank copy the merge key is the random-hyperplane
     angle estimate (comparable across shards — same dim everywhere)."""
     shortlist = min(max(k * oversample, k), codes.shape[0])
-    negh, ids = bq_scan_neg_topk(qpacked, codes, valid, k=shortlist)
+    # no rerank copy -> the Hamming values are the final ranking: force
+    # exact per-block selection (see bq_scan_neg_topk approximation note)
+    negh, ids = bq_scan_neg_topk(qpacked, codes, valid, k=shortlist,
+                                 exact=rr_codes is None)
     if rr_codes is not None:
         negd, ids = rerank_neg_topk(
             queries, negh, ids, rr_codes, None,
@@ -381,13 +470,15 @@ def _merge_partials(negd, ids, local_n, k):
 
 
 def _local_pq_scan_merge(codes, centroids, sqnorm, valid, queries, *,
-                         k, metric, compute_dtype):
+                         k, metric, compute_dtype, coarse=None):
     """Per-device PQ ADC scan -> collective top-k merge (BASELINE config #4:
     PQ codebook search with continuous query batching, sharded). Queries
-    arrive pre-rotated (OPQ) — the wrapper rotates once, not per shard."""
+    arrive pre-rotated (OPQ) — the wrapper rotates once, not per shard.
+    ``coarse`` (replicated) enables residual-PQ codes (2-byte cid prefix,
+    ops/pq.py module doc)."""
     negd, ids = pq_scan_neg_topk(
         queries, codes, centroids, sqnorm, valid,
-        k=k, metric=metric, compute_dtype=compute_dtype,
+        k=k, metric=metric, compute_dtype=compute_dtype, coarse=coarse,
     )
     return _merge_partials(negd, ids, codes.shape[0], k)
 
@@ -405,10 +496,12 @@ def sharded_pq_topk(
     metric: Metric = Metric.COSINE,
     compute_dtype=jnp.bfloat16,
     rotation=None,
+    coarse=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Global top-k over row-sharded PQ codes; codebook is replicated.
 
-    ``rotation`` (replicated OPQ matrix) is applied to queries up front.
+    ``rotation`` (replicated OPQ matrix) is applied to queries up front;
+    ``coarse`` (replicated) enables residual-PQ codes.
     Returns (scores [Q, k] on the 0-100 scale, global ids [Q, k]).
     """
     metric = Metric.parse(metric)
@@ -417,9 +510,9 @@ def sharded_pq_topk(
     if mesh.size == 1:
         negd, ids = pq_scan_neg_topk(
             queries, codes, centroids, sqnorm, valid,
-            k=k, metric=metric, compute_dtype=compute_dtype,
+            k=k, metric=metric, compute_dtype=compute_dtype, coarse=coarse,
         )
-    else:
+    elif coarse is None:
         fn = jax.shard_map(
             partial(
                 _local_pq_scan_merge,
@@ -432,6 +525,19 @@ def sharded_pq_topk(
             check_vma=False,
         )
         negd, ids = fn(codes, centroids, sqnorm, valid, queries)
+    else:
+        fn = jax.shard_map(
+            lambda c, cen, sq, v, q, co: _local_pq_scan_merge(
+                c, cen, sq, v, q, k=k, metric=metric,
+                compute_dtype=compute_dtype, coarse=co,
+            ),
+            mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(), P(SHARD_AXIS), P(SHARD_AXIS),
+                      P(BATCH_AXIS), P()),
+            out_specs=(P(BATCH_AXIS), P(BATCH_AXIS)),
+            check_vma=False,
+        )
+        negd, ids = fn(codes, centroids, sqnorm, valid, queries, coarse)
     score = jnp.where(jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric))
     return score, ids
 

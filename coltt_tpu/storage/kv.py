@@ -232,6 +232,10 @@ class KV:
         """Snapshot the in-memory index + WAL boundary so the next open
         replays only records past the boundary. Written on merge() and on
         clean close(); atomic via tmp+rename."""
+        # drain closed-segment fsyncs (many after a merge's rotations)
+        # before taking the write lock, so the locked sync() below fsyncs
+        # at most the active segment — bounded writer stall
+        self._wal.sync_closed()
         with self._mu:
             self._wal.sync()
             boundary_seg = self._wal._active_id
@@ -579,6 +583,10 @@ class KV:
                     # before the waiter is scheduled (lock convoy — the
                     # sub-batching alone still showed >100 ms stalls)
                     time.sleep(0)
+                # fsync rewrite segments as they rotate closed (outside the
+                # lock), so the final write_hint's durability drain is at
+                # most one segment instead of a burst of journal commits
+                self._wal.sync_closed()
 
             with self._mu:
                 # every index entry now points at segments >= boundary (the

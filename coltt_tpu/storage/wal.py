@@ -88,6 +88,10 @@ class WAL:
         self._active = open(path, "ab+")
         self._active.seek(0, os.SEEK_END)
         self._write_off = self._active.tell()
+        # segments closed by _rotate without an fsync (buffered mode); sync()
+        # must flush these too or a post-rotation sync() leaves whole closed
+        # segments non-durable while callers (write_hint) believe they are
+        self._unsynced_closed: List[str] = []
 
     # -- write ---------------------------------------------------------------
     def _rotate(self) -> None:
@@ -99,6 +103,12 @@ class WAL:
             # write lock on a busy disk — the KV merge test's residual
             # writer stall after sub-batching
             os.fsync(self._active.fileno())
+        else:
+            # deferred: the next sync() fsyncs this closed segment so the
+            # explicit-durability contract covers records written before
+            # the rotation
+            self._unsynced_closed.append(
+                _segment_path(self.directory, self._active_id))
         self._active.close()
         self._active_id += 1
         self._segment_ids.append(self._active_id)
@@ -193,7 +203,25 @@ class WAL:
             pos.append((off // BLOCK_SIZE, off % BLOCK_SIZE, base + len(buf) - off))
         return bytes(buf), pos
 
+    def sync_closed(self) -> None:
+        """fsync segments closed by rotation since the last sync. Safe to
+        call without the owner's write lock (list ops are GIL-atomic):
+        callers that hold a lock across sync() can drain the (possibly
+        many, post-merge) closed-segment fsyncs OUTSIDE it first, so the
+        locked sync() touches at most the active segment."""
+        while self._unsynced_closed:
+            path = self._unsynced_closed.pop()
+            try:
+                with open(path, "rb") as f:
+                    os.fsync(f.fileno())
+            except FileNotFoundError:
+                pass  # segment retired by a merge — its data moved elsewhere
+
     def sync(self) -> None:
+        # closed-but-unsynced segments first: a crash after sync() must not
+        # lose records the caller was told are durable just because a
+        # rotation happened since the last sync
+        self.sync_closed()
         self._active.flush()
         os.fsync(self._active.fileno())
 
@@ -334,5 +362,13 @@ class WAL:
                 continue
             if sid in self._segment_ids:
                 self._segment_ids.remove(sid)
-            paths.append(_segment_path(self.directory, sid))
+            path = _segment_path(self.directory, sid)
+            # a segment about to be unlinked never needs its deferred fsync
+            # (its live records were rewritten elsewhere) — dropping it here
+            # keeps sync() from paying journal commits for dead files
+            try:
+                self._unsynced_closed.remove(path)
+            except ValueError:
+                pass
+            paths.append(path)
         return paths

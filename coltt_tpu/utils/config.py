@@ -71,6 +71,18 @@ class ServingConfig:
     scan_batch_wait_ms: float = 2.0
     # OPQ rounds for PQ collections (0 disables; ops/pq.py PQCodebook doc)
     pq_opq_iters: int = 4
+    # multi-device serving: shard every collection's rows over this many
+    # devices and scan through the shard_map collective path
+    # (parallel/dist_search.py). 1 = single-device (default); 0 = all
+    # local devices. The engine-level version of the reference's
+    # goroutine-per-shard scan (edge/f16_vectorstore.go:138-170).
+    shards: int = 1
+    # latency mode: comma-separated query-batch sizes whose serving scans
+    # are compiled at LoadCollection (both the exact and high_resource
+    # variants, k=10), so first single-query RPCs don't eat a compile —
+    # "a server that is ready when it says it is"
+    # (root_layer/root/rpc.go:41-115). Empty string disables.
+    precompile_batches: str = "1,8,64"
 
 
 @dataclass

@@ -234,6 +234,40 @@ def test_fused_sharded_matches_xla(rng, quant):
     assert compute_recall(ids_fused, ids_xla) >= 0.9
 
 
+def test_shard_map_single_device_not_bypassed(data):
+    """bypass_single=False must run the REAL shard_map path on a 1-device
+    mesh and agree exactly with the bypass path — the selection logic the
+    hardware check (benchmark/fused_shardmap_check.py) relies on
+    (VERDICT r4 #5: fused kernel x shard_map has to be provable on a
+    single real chip)."""
+    import jax
+
+    from coltt_tpu.parallel.dist_search import sharded_scan_topk
+
+    vecs, qs = data
+    mesh = make_mesh(1, devices=jax.devices()[:1])
+    codes = jnp.asarray(vecs)
+    scale = jnp.ones((vecs.shape[0], 1), jnp.float32)
+    sqnorm = jnp.sum(codes * codes, axis=1)
+    valid = jnp.ones(vecs.shape[0], bool)
+    for fused in (False, True):  # fused falls back to XLA on CPU — the
+        # selection logic itself must not change results
+        s_direct, i_direct = sharded_scan_topk(
+            mesh, codes, scale, sqnorm, valid, jnp.asarray(qs),
+            k=10, metric=Metric.COSINE, compute_dtype=jnp.float32,
+            fused=fused,
+        )
+        s_sm, i_sm = sharded_scan_topk(
+            mesh, codes, scale, sqnorm, valid, jnp.asarray(qs),
+            k=10, metric=Metric.COSINE, compute_dtype=jnp.float32,
+            fused=fused, bypass_single=False,
+        )
+        np.testing.assert_array_equal(np.asarray(i_direct), np.asarray(i_sm))
+        np.testing.assert_allclose(
+            np.asarray(s_direct), np.asarray(s_sm), rtol=1e-6
+        )
+
+
 def test_multihost_mesh_and_assembly(data):
     """Single-process degradation of the multi-host layer: host-major mesh,
     full row range, device_put assembly; search results match the

@@ -55,6 +55,33 @@ def test_wal_segment_rotation(tmp_path):
     w.close()
 
 
+def test_wal_sync_covers_rotated_segments(tmp_path):
+    """ADVICE r4 (high): in buffered mode _rotate defers its fsync, so
+    sync() — the explicit durability contract — must fsync the segments
+    closed since the last sync, not just the active one. Segments retired
+    by a merge (detach_segments) drop out of the deferred set: their data
+    was rewritten elsewhere and the file is about to be unlinked."""
+    w = WAL(str(tmp_path / "wal"), segment_size=64 * 1024)
+    for _ in range(10):
+        w.write(b"z" * 20_000)  # rotates several segments
+    closed = list(w._unsynced_closed)
+    assert closed, "rotation should defer closed-segment fsyncs"
+    assert all(os.path.exists(p) for p in closed)
+    w.sync()
+    assert w._unsynced_closed == []  # all deferred fsyncs drained
+    # detach removes a pending path without fsyncing it
+    for _ in range(10):
+        w.write(b"z" * 20_000)
+    assert w._unsynced_closed
+    victim_path = w._unsynced_closed[0]
+    victim = int(os.path.basename(victim_path).split(".")[0])
+    w.detach_segments([victim])
+    assert victim_path not in w._unsynced_closed
+    w.sync()
+    assert w._unsynced_closed == []
+    w.close()
+
+
 def test_wal_torn_tail_ignored(tmp_path):
     w = WAL(str(tmp_path / "wal"))
     w.write(b"good")
