@@ -138,8 +138,10 @@ def main():
 
         # at 10M the 768-bit Hamming ranking needs a deeper shortlist:
         # sweep oversample on the same index (os=16 measured .569 with the
-        # f8 rerank at 10M; the FlatStore default for BQ is 64)
-        os_list = (16, 64) if n > 1_000_000 else (16,)
+        # f8 rerank at 10M; the FlatStore default for BQ is 64). The r5
+        # capped per-block keep (ops/bq.py) makes deep oversample
+        # affordable — os=128 probes the recall ceiling beyond .895.
+        os_list = (16, 64, 128) if n > 1_000_000 else (16,)
         per_os = {}
         for os_ in os_list:
             t0 = time.perf_counter()

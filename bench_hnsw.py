@@ -36,6 +36,8 @@ def main():
     from coltt_tpu.store.hnsw import HnswConfig, HnswIndex
 
     n, d, k = 1_000_000, 128, 10
+    if "--dim" in sys.argv:  # r5: the flagship shape is 768d (VERDICT #3)
+        d = int(sys.argv[sys.argv.index("--dim") + 1])
     batch = 512
     depth = 8
     n_eval = 1024  # r04: recall std at p~0.9 over 1024*10 pairs ~ 0.003
@@ -118,6 +120,31 @@ def main():
     log(f"p50 batch latency {p50_batch_ms:.2f} ms; QPS {best_qps:.0f}; "
         f"recall@10 {recall:.3f}")
 
+    # recall frontier (VERDICT r4 #3): sweep serving ef on the SAME graph,
+    # recording recall/QPS per point — where (if anywhere) recall >= .99
+    # is reachable, and what it costs
+    ef_sweep = None
+    if "--efsweep" in sys.argv:
+        ef_sweep = {}
+        for ef in (64, 128, 256, 512):
+            t0 = time.perf_counter()
+            idx.search(q_batches[0], k, ef=ef)
+            log(f"ef={ef} warmup: {time.perf_counter()-t0:.1f}s")
+            rounds = []
+            for r in range(7):
+                t0 = time.perf_counter()
+                for i in range(depth):
+                    idx.search(q_batches[i], k, ef=ef)
+                dt = time.perf_counter() - t0
+                if r >= 2:
+                    rounds.append(depth * batch / dt)
+            _, ids = idx.search(eval_q, k, ef=ef)
+            rec_ef = float(compute_recall(ids, gt))
+            qps_ef = float(np.median(rounds))
+            log(f"ef={ef}: {qps_ef:.0f} QPS, recall@10 {rec_ef:.4f}")
+            ef_sweep[ef] = {"qps": round(qps_ef, 1),
+                            "recall_at_10": round(rec_ef, 4)}
+
     # interleaved mutate/search (VERDICT r3 item 4b): search QPS while a
     # writer thread inserts/removes — exercises the dirty-row scatter
     # update of the capacity-shaped device cache (a full re-upload or
@@ -158,7 +185,7 @@ def main():
     baseline_qps = 1.0 / 0.87e-3  # reference 0.87 ms/query
     print(json.dumps({
         "metric": "HNSW bf16 QPS/chip at recall@10 "
-                  "(1M x 128d clustered, ef=128, batch=512)",
+                  f"(1M x {d}d clustered, ef=128, batch=512)",
         "value": round(best_qps, 1),
         "unit": "qps",
         "vs_baseline": round(best_qps / baseline_qps, 2),
@@ -169,6 +196,8 @@ def main():
         "builder": builder,
         "mutate_search_qps": (round(mutate_qps, 1)
                               if mutate_qps is not None else None),
+        "dim": d,
+        "ef_sweep": ef_sweep,
         "devices": len(jax.devices()),
     }))
 

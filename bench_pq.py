@@ -43,6 +43,79 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _serve_phase(path, *, batch, depth, k, n_eval, m, coarse_c):
+    """Fresh-process serving: load the snapshot (codes -> device + f8
+    cache rebuild, timed), then measure QPS/recall through the production
+    FlatStore.search path. See the --save-to/--serve-from note in main."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from coltt_tpu.store.flat import FlatStore
+
+    log(f"devices: {jax.devices()}  (serve phase, M={m} coarse={coarse_c})")
+    aux = np.load(path + ".aux.npz")
+    gt = aux["gt"]
+    eval_q = aux["eval_q"]
+    q_batches = [aux["q_batches"][i] for i in range(aux["q_batches"].shape[0])]
+
+    t0 = time.perf_counter()
+    with open(path, "rb") as f:
+        store = FlatStore.load(f)
+    np.asarray(jax.device_get(store.sqnorm[:1]))
+    load_s = time.perf_counter() - t0
+    log(f"load (read {os.path.getsize(path)/1e9:.2f} GB codes + rebuild "
+        f"f8 cache): {load_s:.1f}s")
+
+    def search(q):
+        return store.search(q, k, oversample=4, approx_recall=0.99)
+
+    t0 = time.perf_counter()
+    search(q_batches[0])
+    log(f"warmup (compile): {time.perf_counter()-t0:.1f}s")
+
+    # QPS: store.search is synchronous (host fetch per call); overlap
+    # calls on a thread pool — the store's snapshot-under-lock design
+    # lets concurrent scans overlap on device
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(depth)
+    qps_rounds = []
+    for r in range(7):
+        t0 = time.perf_counter()
+        futs = [pool.submit(search, q_batches[i % len(q_batches)])
+                for i in range(depth)]
+        for fu in futs:
+            fu.result()
+        dt = time.perf_counter() - t0
+        if r >= 2:
+            qps_rounds.append(depth * batch / dt)
+    qps = float(np.median(qps_rounds))
+
+    _, ids = search(eval_q)
+    rec = float(np.mean(
+        [len(set(gt[i]) & set(np.asarray(ids)[i])) / k
+         for i in range(len(gt))]
+    ))
+    log(f"serve: {qps:.0f} QPS, recall@10 vs fp32 {rec:.3f}")
+    print(json.dumps({
+        "metric": (f"coarse{coarse_c}-residual-OPQ(M={m})+f8-cache"
+                   "+reconstruction-rerank QPS/chip at recall@10 "
+                   "(10M x 768d clustered+spectrum, batch=512, "
+                   "FlatStore serve-from-snapshot)"),
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 71.4, 2),
+        "recall_at_10": round(rec, 4),
+        "recall_queries": int(len(gt)),
+        "qps_rounds": [round(x, 1) for x in qps_rounds],
+        "load_s": round(load_s, 1),
+        "snapshot_gb": round(os.path.getsize(path) / 1e9, 2),
+        "devices": len(jax.devices()),
+    }))
+
+
 def main():
     import os
 
@@ -54,6 +127,7 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
+    import coltt_tpu.ops.topk as topk_mod
     from coltt_tpu.ops.distance import Metric, scan_distances
     from coltt_tpu.ops.pq import (
         default_subspaces, pq_encode, pq_scan_neg_topk, pq_sqnorm, train_pq,
@@ -86,9 +160,29 @@ def main():
     # r03 (VERDICT r3 item 3 names this experiment). Serving is blockwise
     # ADC (+ exact-reconstruction rerank of the shortlist).
     nocache = "--nocache" in sys.argv
+    # --roundtrip: after measuring, adopt the built arrays into a real
+    # FlatStore, flush it to disk, free device state, and time the load
+    # (incl. the f8 cache rebuild) — the flush/load leg of VERDICT r4 #2
+    roundtrip = "--roundtrip" in sys.argv
+    # Two-phase mode (the M=384 configuration REQUIRES it): --save-to P
+    # ingests, adopts into a FlatStore, snapshots to P and exits;
+    # --serve-from P loads the snapshot in a FRESH process and measures.
+    # Measured rationale: after the 10M ingest the heap is fragmented
+    # enough that ops needing <0.5 GiB of contiguous scratch OOM with ~4
+    # GiB nominally free (probed: the same rerank runs with 0.45 GiB free
+    # on a clean heap). Build transients and serving state should not
+    # share a heap — the durable artifact is the codes; serving loads
+    # them and rebuilds the f8 cache (production FlatStore.load path).
+    save_to = serve_from = None
+    if "--save-to" in sys.argv:
+        save_to = sys.argv[sys.argv.index("--save-to") + 1]
+    if "--serve-from" in sys.argv:
+        serve_from = sys.argv[sys.argv.index("--serve-from") + 1]
     dsub = 4
     if "--dsub" in sys.argv:
         dsub = int(sys.argv[sys.argv.index("--dsub") + 1])
+    if "--chunk" in sys.argv:
+        chunk_n = 1 << int(sys.argv[sys.argv.index("--chunk") + 1])
     if plain:
         m, coarse_c = default_subspaces(d, target_dsub=4), 0
     else:
@@ -102,6 +196,17 @@ def main():
         #   coarse16384 + dsub=4 (194 B/row) .825
         #   coarse16384 + dsub=2 (386 B/row) see README (the recall>=0.85 point)
         m, coarse_c = default_subspaces(d, target_dsub=dsub), 16384
+
+    # the default 2 GB per-block score transient is sized for ~10 GB of
+    # resident state; the M=384 cache config holds ~12.3 GiB steady next
+    # to ~15.5 GiB usable, so shrink the scan blocks (more lax.map steps,
+    # bounded memory) — serving phase included
+    topk_mod.SCORES_BYTES_BUDGET = 512 << 20
+
+    if serve_from:
+        _serve_phase(serve_from, batch=batch, depth=depth, k=k,
+                     n_eval=n_eval, m=m, coarse_c=coarse_c)
+        return
 
     log(f"devices: {jax.devices()}  M={m} coarse={coarse_c}")
     key = jax.random.PRNGKey(0)
@@ -150,6 +255,27 @@ def main():
         pqc, _ = pq_encode(chunk, codebook)
         return lax.dynamic_update_slice_in_dim(pq_codes, pqc, off, axis=0)
 
+    # train BEFORE allocating the big output arrays: at M=384 the Lloyd /
+    # OPQ transients are ~4 GB, which OOMs next to 11.6 GB of
+    # codes+cache zeros (the r03/r04 "--dsub 2 + cache OOM" — VERDICT r4
+    # #2 names exactly this build-transient-vs-resident-state conflict)
+    t_ingest0 = time.perf_counter()
+    train_key, key = jax.random.split(key)
+    train_chunk = gen_rows(train_key, max(chunk_n, 262144))
+    t0 = time.perf_counter()
+    # residual mode trains the coarse k-means on a 262k sample
+    # (16 rows/centroid at C=16384; a 64k sample would leave
+    # centroids starved)
+    codebook = train_pq(
+        train_chunk[:262144], m=m, iters=10, opq_iters=4,
+        sample_size=65536 if plain else 262144,
+        coarse_centroids=coarse_c,
+    )
+    jax.block_until_ready(codebook.centroids)
+    del train_chunk
+    log(f"OPQ+PQ train (10 lloyd x 4 opq, coarse={coarse_c}): "
+        f"{time.perf_counter()-t0:.1f}s")
+
     cw = m + (2 if coarse_c else 0)  # residual: 2-byte cid prefix
     pq_codes = jnp.zeros((n_total, cw), jnp.uint8)
     if nocache:
@@ -159,25 +285,10 @@ def main():
         f8_scale = jnp.zeros((n_total, 1), jnp.float32)
         f8_sqn = jnp.zeros((n_total,), jnp.float32)
     gt_neg = gt_ids = None
-    codebook = None
-    t_ingest0 = time.perf_counter()
     n_chunks = n_total // chunk_n
     for ci in range(n_chunks):
         kchunk, key = jax.random.split(key)
         chunk = gen_rows(kchunk, chunk_n)
-        if codebook is None:
-            t0 = time.perf_counter()
-            # residual mode trains the coarse k-means on a 262k sample
-            # (16 rows/centroid at C=16384; a 64k sample would leave
-            # centroids starved)
-            codebook = train_pq(
-                chunk[:262144], m=m, iters=10, opq_iters=4,
-                sample_size=65536 if plain else 262144,
-                coarse_centroids=coarse_c,
-            )
-            jax.block_until_ready(codebook.centroids)
-            log(f"OPQ+PQ train (10 lloyd x 4 opq, coarse={coarse_c}): "
-                f"{time.perf_counter()-t0:.1f}s")
         # exact fp32 ground truth, merged incrementally before the chunk dies
         neg, ids = exact_chunk_topk(eval_q, chunk)
         ids = ids + ci * chunk_n
@@ -203,8 +314,34 @@ def main():
         f"{time.perf_counter()-t_ingest0:.1f}s")
     gt = np.asarray(gt_ids)
 
-    pq_sqn = pq_sqnorm(pq_codes, codebook)
+    # --noadc: skip the blockwise-ADC comparison leg entirely — at M=384
+    # its pq_sqnorm/reconstruct transients crowd the 12.3 GiB steady
+    # state, and the serving path under measurement doesn't use it
+    noadc = "--noadc" in sys.argv
+    if noadc:
+        pq_sqn = None
+    else:
+        pq_sqn = pq_sqnorm(pq_codes, codebook)
+        jax.block_until_ready(pq_sqn)
+        log("pq_sqnorm ready")
     rot = codebook.rotation
+
+    if "--probe" in sys.argv:
+        # measure actual free HBM after ingest (0.25 GiB blocks until OOM)
+        probe_blocks, free = [], 0.0
+        kp = jax.random.PRNGKey(99)
+        try:
+            for i in range(80):
+                kp, sk = jax.random.split(kp)
+                b = jax.random.normal(sk, (1 << 26,), jnp.float32)
+                jax.block_until_ready(b)
+                float(b[0])
+                probe_blocks.append(b)
+                free += 0.25
+        except Exception:
+            pass
+        del probe_blocks
+        log(f"probe: ~{free:.2f} GiB free after ingest")
 
     # -- serving dispatches ----------------------------------------------------
     # the cache lives in OPQ-rotated space: rotate queries once per batch
@@ -251,10 +388,52 @@ def main():
     ]
     np.asarray(q_batches[-1][0, 0])
 
+    if save_to and not nocache:
+        from coltt_tpu.store.flat import FlatStore
+
+        store = FlatStore.adopt_pq(
+            codebook, pq_codes, cache=(f8_codes, f8_scale, f8_sqn),
+        )
+        t0 = time.perf_counter()
+        with open(save_to, "wb") as f:
+            store.save(f)
+        save_s = time.perf_counter() - t0
+        np.savez(
+            save_to + ".aux.npz", gt=gt, eval_q=np.asarray(eval_q),
+            q_batches=np.stack([np.asarray(b) for b in q_batches]),
+        )
+        log(f"saved snapshot: {save_s:.1f}s "
+            f"({os.path.getsize(save_to)/1e9:.2f} GB) -> {save_to}")
+        print(json.dumps({"phase": "save", "save_s": round(save_s, 1),
+                          "snapshot_gb": round(
+                              os.path.getsize(save_to) / 1e9, 2),
+                          "ingest_s": round(
+                              time.perf_counter() - t_ingest0, 1)}))
+        return
+
+    if "--stagecheck" in sys.argv and not nocache:
+        # localize any OOM: scan stage, then rerank stage, each synced
+        from coltt_tpu.ops.pq import pq_rerank_neg_topk as _pqrr
+        qr0 = q_batches[0] @ rot if rot is not None else q_batches[0]
+        t0 = time.perf_counter()
+        negd0, ids0 = scan_neg_topk(qr0, f8_codes, f8_scale, f8_sqn, valid,
+                                    k=4 * k, metric=Metric.COSINE,
+                                    approx_recall=0.99)
+        jax.block_until_ready((negd0, ids0))
+        log(f"stage: f8-cache scan ok ({time.perf_counter()-t0:.1f}s)")
+        t0 = time.perf_counter()
+        out0 = _pqrr(qr0, negd0, ids0, pq_codes, codebook.centroids, k=k,
+                     metric=Metric.COSINE, coarse=codebook.coarse)
+        jax.block_until_ready(out0)
+        log(f"stage: pq rerank ok ({time.perf_counter()-t0:.1f}s)")
+        del negd0, ids0, out0, qr0
+
     results = {}
     paths = ([("adc+rerank", dispatch_adc_rerank), ("adc", dispatch_adc)]
              if nocache else
              [("f8cache", dispatch_cache), ("adc", dispatch_adc)])
+    if noadc:
+        paths = [p for p in paths if p[0] != "adc"]
     for name, fn in paths:
         t0 = time.perf_counter()
         np.asarray(fn(q_batches[0])[0])
@@ -277,6 +456,48 @@ def main():
         log(f"{name}: {best:.0f} QPS, recall@10 vs fp32 {rec:.3f}")
         results[name] = (best, rec)
 
+    rt = None
+    if roundtrip and not nocache:
+        # flush/load round trip through the real FlatStore (VERDICT r4 #2
+        # done-bar): adopt the arrays (no copy), stream-save the snapshot,
+        # drop ALL device state, and time load = read codes + rebuild the
+        # f8 cache from them. Recall is re-checked on the loaded store.
+        import tempfile
+
+        from coltt_tpu.store.flat import FlatStore
+
+        store = FlatStore.adopt_pq(
+            codebook, pq_codes, cache=(f8_codes, f8_scale, f8_sqn),
+        )
+        path = os.path.join(tempfile.gettempdir(), "bench_pq_snapshot.bin")
+        t0 = time.perf_counter()
+        with open(path, "wb") as f:
+            store.save(f)
+        save_s = time.perf_counter() - t0
+        sz_gb = os.path.getsize(path) / 1e9
+        log(f"flush: {save_s:.1f}s ({sz_gb:.2f} GB)")
+        eval_np = np.asarray(eval_q)
+        del store, pq_codes, f8_codes, f8_scale, f8_sqn, pq_sqn, valid
+        del q_batches, eval_q
+        import gc as _gc
+        _gc.collect()
+        t0 = time.perf_counter()
+        with open(path, "rb") as f:
+            loaded = FlatStore.load(f)
+        np.asarray(jax.device_get(loaded.sqnorm[:1]))
+        load_s = time.perf_counter() - t0
+        _, ids = loaded.search(eval_np, k, oversample=4, approx_recall=0.99)
+        rec_rt = float(np.mean(
+            [len(set(gt[i]) & set(np.asarray(ids)[i])) / k
+             for i in range(n_eval)]
+        ))
+        log(f"load (read codes + rebuild f8 cache): {load_s:.1f}s; "
+            f"loaded-store recall@10 {rec_rt:.3f}")
+        os.remove(path)
+        rt = {"save_s": round(save_s, 1), "load_s": round(load_s, 1),
+              "snapshot_gb": round(sz_gb, 2),
+              "loaded_recall_at_10": round(rec_rt, 4)}
+
     qps, rec = results["adc+rerank" if nocache else "f8cache"]
     print(json.dumps({
         "metric": (f"{'OPQ' if plain else f'coarse{coarse_c}-residual-OPQ'}"
@@ -288,9 +509,11 @@ def main():
         "unit": "qps",
         "vs_baseline": round(qps / 71.4, 2),  # reference PQ era: <14ms @ 50k
         "recall_at_10": round(rec, 4),
-        "adc_qps": round(results["adc"][0], 1),
-        "adc_recall_at_10": round(results["adc"][1], 4),
+        "adc_qps": round(results["adc"][0], 1) if "adc" in results else None,
+        "adc_recall_at_10": (round(results["adc"][1], 4)
+                             if "adc" in results else None),
         "devices": len(jax.devices()),
+        "roundtrip": rt,
     }))
 
 

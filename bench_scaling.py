@@ -50,7 +50,13 @@ def main():
     queries = rng.standard_normal((q, d)).astype(np.float32)
     sqn = (vecs * vecs).sum(1)
 
-    rows = {}
+    # r04's artifact was non-monotone (2 shards measured 20% FASTER than
+    # 1 at fixed total work) on best-of-5 — on a CPU proxy all "devices"
+    # share one thread pool, so run-to-run scheduler drift dominates small
+    # deltas. r05 hardening: interleave the shard configs round-robin
+    # (cancels slow host drift), 3 warm + 15 timed passes per config,
+    # median per config.
+    runners = {}
     for shards in (1, 2, 4, 8):
         mesh = make_mesh(num_shards=shards, batch=1,
                          devices=jax.devices()[:shards])
@@ -61,7 +67,7 @@ def main():
         jval = jax.device_put(jnp.ones((n,), bool), spec)
         jq = jax.device_put(jnp.asarray(queries), qspec)
 
-        def run():
+        def run(mesh=mesh, jv=jv, js=js, jval=jval, jq=jq):
             s, i = sharded_scan_topk(
                 mesh, jv, None, js, jval, jq, k=k,
                 metric=Metric.COSINE, compute_dtype=jnp.float32,
@@ -69,14 +75,23 @@ def main():
             jax.block_until_ready((s, i))
             return s, i
 
-        run()  # compile
-        best = min(
-            (lambda t0=time.perf_counter(): (run(), time.perf_counter() - t0)[1])()
-            for _ in range(5)
-        )
-        rows[shards] = best
-        log(f"shards={shards}: {best*1e3:.1f} ms "
-            f"({q/best:.0f} QPS, fixed total work)")
+        runners[shards] = run
+
+    samples = {s: [] for s in runners}
+    for it in range(18):  # 3 warm + 15 timed, interleaved
+        for shards, run in runners.items():
+            t0 = time.perf_counter()
+            run()
+            dt = time.perf_counter() - t0
+            if it >= 3:
+                samples[shards].append(dt)
+    rows = {s: float(np.median(v)) for s, v in samples.items()}
+    spread = {s: round(float(np.std(v) / np.median(v)), 3)
+              for s, v in samples.items()}
+    for shards in rows:
+        log(f"shards={shards}: {rows[shards]*1e3:.1f} ms median-of-15 "
+            f"(rel std {spread[shards]}, {q/rows[shards]:.0f} QPS, "
+            "fixed total work)")
 
     # fixed total work: ideal scaling keeps time flat as shards grow
     base = rows[1]
@@ -102,6 +117,10 @@ def main():
         "vs_baseline": None,
         "ratios": ratios,
         "wall_ms": {s: round(rows[s] * 1e3, 2) for s in rows},
+        "rel_std": spread,
+        "methodology": "interleaved round-robin, 3 warm + 15 timed passes "
+                       "per config, median (r04's best-of-5 was "
+                       "non-monotone from host scheduler drift)",
         "ici_model": {
             "assumption": "v5e ICI ~45 GB/s/link; [Q,k] partials per device",
             "t_merge_us": round(t_merge * 1e6, 1),

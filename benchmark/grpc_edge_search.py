@@ -39,6 +39,9 @@ def main():
                     help=">1 adds a concurrent-clients phase (ScanBatcher)")
     ap.add_argument("--one-by-one", action="store_true",
                     help="ingest via single Index RPCs (reference shape)")
+    ap.add_argument("--coldcheck", action="store_true",
+                    help="release+load, then time the FIRST RPCs cold "
+                         "(LoadCollection precompile / latency mode)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -79,6 +82,28 @@ def main():
           flush=True)
 
     qs = rng.standard_normal((args.queries, args.dim)).astype(np.float32)
+
+    # latency mode check (VERDICT r4 #6): release + load the collection —
+    # LoadCollection precompiles the small-batch serving shapes — then time
+    # the very FIRST single-query RPCs with no warmup. Done-bar: cold
+    # first-RPC p50 within 2x of warm p50.
+    cold_ms = None
+    if args.coldcheck:
+        client.flush(args.collection)
+        client.release_collection(args.collection)
+        t0 = time.perf_counter()
+        client.load_collection(args.collection)
+        load_s = time.perf_counter() - t0
+        cold = []
+        for i in range(5):
+            t1 = time.perf_counter()
+            client.search(args.collection, qs[i], limit=args.limit,
+                          high_resource=args.high_resource)
+            cold.append(time.perf_counter() - t1)
+        cold_ms = [round(x * 1e3, 2) for x in cold]
+        print(f"load (incl. precompile): {load_s:.1f}s; "
+              f"first-5 cold RPCs: {cold_ms} ms", flush=True)
+
     client.search(args.collection, qs[0], limit=args.limit,
                   high_resource=args.high_resource)  # warmup/compile
     lats = []
@@ -101,6 +126,12 @@ def main():
         "qps_sequential": round(args.queries / total, 1),
         "reference_p50_ms": "20-30 (1M x 128d, highCpu=true)",
     }
+    if cold_ms is not None:
+        out["cold_first_rpcs_ms"] = cold_ms
+        out["cold_first_p50_ms"] = round(float(np.median(cold_ms)), 2)
+        out["cold_within_2x_warm"] = bool(
+            np.median(cold_ms) <= 2.0 * out["p50_ms"]
+        )
 
     if args.concurrency > 1:
         # concurrent clients: the server's ScanBatcher coalesces in-flight

@@ -727,7 +727,9 @@ def build_servicer(mode: str, cfg: Config):
             kv_auto_merge_cron=cfg.storage.kv_auto_merge_cron or None,
         ))
     if mode == "experimental":
-        return ExperimentalServicer(ExperimentalEngine(_object_store(cfg)))
+        return ExperimentalServicer(ExperimentalEngine(
+            _object_store(cfg), mesh=_serving_mesh(cfg),
+        ))
     raise ValueError(f"unknown mode {mode!r} (want root|edge|experimental)")
 
 

@@ -154,7 +154,21 @@ def bq_scan_neg_topk(queries_packed, codes_packed, valid, *, k: int,
         while n % block:
             block -= _ALIGN  # terminates: n % _ALIGN == 0
         blocks = n // block
-        kb = min(kk, block)
+        if exact:
+            kb = min(kk, block)
+        else:
+            # capped per-block keep (the r4 deep-oversample fix): a
+            # k*64-wide per-block ApproxTopK plus a blocks*kk-wide final
+            # sort dominated the whole 10M scan (os64 measured 324 QPS vs
+            # os16's 2,043 — selection cost, not the rerank gather). The
+            # global Hamming top-kk is spread ~kk/blocks per block, so
+            # keeping 8x that mean (floor 64) per block preserves it
+            # unless one block holds >8x its share of the winners; a
+            # shortlist member lost to such crowding is replaced by its
+            # blockmates — the very rows that outranked it — so the
+            # rerank pool quality is unchanged. exact=True keeps the
+            # uncapped width.
+            kb = min(kk, block, max(64, -(-8 * kk // blocks)))
         if blocks == 1:
             neg = _mxu_hamming_block(qi, codes_packed, valid)
             return lax.top_k(neg, kk)

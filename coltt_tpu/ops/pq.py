@@ -80,7 +80,10 @@ _ENCODE_TRANSIENT_BYTES = 1 << 30
 
 def _encode_block_for(n: int, m: int, n_centroids: int) -> int:
     b = _ENCODE_BLOCK
-    while b > 4096 and m * b * n_centroids * 4 > _ENCODE_TRANSIENT_BYTES:
+    # floor 2048 (was 4096): at M=384 (dsub=2) a 4096-row block's [M, B, K]
+    # assignment transient is 1.6 GB — too much next to an 11.6 GB
+    # codes+cache steady state at 10M x 768d
+    while b > 2048 and m * b * n_centroids * 4 > _ENCODE_TRANSIENT_BYTES:
         b //= 2
     # any N is fine: _encode_all runs full blocks through lax.map and the
     # remainder through one static tail block (never the unblocked path —
@@ -516,6 +519,23 @@ def pq_encode(vectors, codebook: PQCodebook) -> Tuple[jax.Array, jax.Array]:
     return codes, sqnorm
 
 
+#: cap on the reconstruct gather's lane-padded [B, M, 128] transient —
+#: take_along_axis pads dsub to 128 lanes, a 64x inflation at dsub=2, so
+#: at M=384 an unblocked 16384-row reconstruct is 3.2 GB (what OOM'd the
+#: 10M dsub=2 serving leg next to its 12.3 GB codes+cache steady state)
+#: 128 MB (r5, was 768 MB): after a ~12 GiB store loads, free HBM is
+#: fragmented — a block transient must fit a contiguous HOLE, not just
+#: the free total
+_RECON_TRANSIENT_BYTES = 1 << 27
+
+
+def _recon_block_for(n: int, m: int, itemsize: int = 4) -> int:
+    b = _ENCODE_BLOCK
+    while b > 512 and b * m * 128 * itemsize > _RECON_TRANSIENT_BYTES:
+        b //= 2
+    return min(b, n) if n else b
+
+
 @partial(jax.jit, static_argnames=("block",))
 def _recon_sqnorm_blocked(codes, centroids, coarse, *, block: int):
     """||reconstruction||^2 for residual codes, blocked over rows."""
@@ -568,7 +588,8 @@ def pq_sqnorm(codes, codebook: PQCodebook, *, block: int = _ENCODE_BLOCK
     if codebook.coarse is not None:
         return _recon_sqnorm_blocked(
             codes, codebook.centroids, codebook.coarse,
-            block=min(block, codes.shape[0]),
+            block=min(block, codes.shape[0],
+                      _recon_block_for(codes.shape[0], codebook.m)),
         )
     return _sqnorm_blocked(codes, codebook.centroid_sqnorm.T, block=block)
 
@@ -699,15 +720,49 @@ def pq_rerank_neg_topk(queries, negd, ids, codes, centroids, *, k,
     ``queries`` are unrotated; pass the codebook rotation.
     """
     metric = Metric.parse(metric)
+    safe = jnp.where(ids >= 0, ids, 0)
+    crow = jnp.take(codes, safe.reshape(-1), axis=0)      # [Q*C, code_width]
+    return pq_rescore_rows(queries, negd, ids, crow, centroids,
+                           k=k, metric=metric, rotation=rotation,
+                           coarse=coarse)
+
+
+@partial(jax.jit, static_argnames=("k", "metric"))
+def pq_rescore_rows(queries, negd, ids, crow, centroids, *, k,
+                    metric: Metric = Metric.COSINE, rotation=None,
+                    coarse=None):
+    """Rescoring tail of :func:`pq_rerank_neg_topk` for callers that
+    gather the ``[Q*C, code_width]`` shortlist code rows themselves —
+    chiefly the host-resident-codes serving mode, where the authoritative
+    codes never live on device and the (tiny) shortlist rows are gathered
+    on the host and uploaded."""
+    metric = Metric.parse(metric)
     from coltt_tpu.ops.topk import rescore_topk
 
     queries = jnp.asarray(queries, jnp.float32)
     if rotation is not None:
         queries = queries @ rotation
     qn, c = ids.shape
-    safe = jnp.where(ids >= 0, ids, 0)
-    crow = jnp.take(codes, safe.reshape(-1), axis=0)      # [Q*C, code_width]
-    rec = _reconstruct(crow, centroids, jnp.float32, coarse=coarse)
+    nrows = crow.shape[0]
+    m = crow.shape[1] - (_COARSE_BYTES if coarse is not None else 0)
+    # block the reconstruct: its gather lane-pads dsub to 128, so an
+    # unblocked [Q*C, M, 128] transient is ~4 GB at Q=512, C=40, M=384
+    # (_RECON_TRANSIENT_BYTES note)
+    blk = _recon_block_for(nrows, m)
+    if nrows > blk:
+        nb = nrows // blk
+        rec = lax.map(
+            lambda cb: _reconstruct(cb, centroids, jnp.float32,
+                                    coarse=coarse),
+            crow[: nb * blk].reshape(nb, blk, -1),
+        ).reshape(nb * blk, -1)
+        if nrows % blk:
+            rec = jnp.concatenate(
+                [rec, _reconstruct(crow[nb * blk:], centroids, jnp.float32,
+                                   coarse=coarse)]
+            )
+    else:
+        rec = _reconstruct(crow, centroids, jnp.float32, coarse=coarse)
     d = rec.shape[-1]
     return rescore_topk(queries, rec.reshape(qn, c, d), negd, ids,
                         k=k, metric=metric, compute_dtype=jnp.float32)

@@ -29,20 +29,30 @@ from coltt_tpu.ops.score import normalize_score
 # tile comfortably inside VMEM-friendly working sets while saturating the MXU.
 DEFAULT_BLOCK_ROWS = 131_072
 
-# [Q, N] f32 score budget before the scan switches to blocked mode. One big
-# fused matmul + top_k beats lax.map-serialized blocks by a wide margin on
-# TPU (the map body launches sequentially); block only to bound HBM.
-SCORES_BYTES_BUDGET = 2 << 30
+# Per-block transient budget (scores + dequant copies) before the scan
+# switches to blocked mode. One big fused matmul + top_k beats
+# lax.map-serialized blocks by a wide margin on TPU (the map body launches
+# sequentially); block only to bound HBM. 1 GB (r5, was 2 GB scores-only):
+# lax.map double-buffers the block transients, and a 10M-row store leaves
+# only ~3 GiB of HBM beside its resident state.
+SCORES_BYTES_BUDGET = 1 << 30
 
 _ALIGN = 8192  # stores grow capacity in these quanta
 
 
-def _block_count(n: int, block, q: int) -> int:
-    """Blocks to split the row axis into. ``block=None`` = auto by memory."""
+def _block_count(n: int, block, q: int, row_bytes: int = 0) -> int:
+    """Blocks to split the row axis into. ``block=None`` = auto by memory.
+
+    ``row_bytes`` charges per-row transients BEYOND the [Q, block] score
+    tile — chiefly the dequantized compute_dtype copy of the code block.
+    Without it, a small-Q search over a big store went single-block and
+    materialized the WHOLE corpus in compute dtype (15 GB at 10M x 768d
+    bf16 — measured OOM on a Q=4 search against a loaded 10M PQ cache)."""
     if block is None:
-        if q * n * 4 <= SCORES_BYTES_BUDGET or n % _ALIGN != 0:
+        per_row = q * 4 + row_bytes
+        if per_row * n <= SCORES_BYTES_BUDGET or n % _ALIGN != 0:
             return 1
-        need = -(-(q * n * 4) // SCORES_BYTES_BUDGET)
+        need = -(-(per_row * n) // SCORES_BYTES_BUDGET)
         units = n // _ALIGN
         blocks = need
         while blocks <= units and units % blocks != 0:
@@ -93,7 +103,14 @@ def scan_neg_topk(
     metric = Metric.parse(metric)
     queries = jnp.asarray(queries, jnp.float32)
     n = codes.shape[0]
-    blocks = _block_count(n, block_rows, queries.shape[0])
+    # charge the dequant copy only when the codes aren't already in
+    # compute dtype (then scan_distances materializes a [block, D] copy);
+    # x2 for lax.map double-buffering
+    row_bytes = (
+        0 if codes.dtype == compute_dtype
+        else 2 * codes.shape[1] * jnp.dtype(compute_dtype).itemsize
+    )
+    blocks = _block_count(n, block_rows, queries.shape[0], row_bytes)
     kk = min(k, n)
 
     if blocks == 1:

@@ -146,33 +146,105 @@ def _gather_search_bq(codes, valid, cand, cand_valid, queries_packed, *, k):
 # the budget below bounds that transient so cache builds run next to a
 # fully loaded corpus (B*M*128*4 bytes <= ~800 MB)
 _CACHE_BLOCK = 16384
-_CACHE_TRANSIENT_BYTES = 800 << 20
+# per-block reconstruct budget: at M=384 the gather's lane-padded
+# [B, M, 128] f32 transient is 100 MB at B=512 — and lax.map double-buffers
+# it, so the budget must leave room next to a ~12 GiB codes+cache steady
+# state at 10M x 768d (a 4096-row/805 MB block OOM'd the snapshot load)
+_CACHE_TRANSIENT_BYTES = 200 << 20
 
 
 @partial(jax.jit, static_argnames=("block",))
 def _pq_cache_rows(pqcodes, centroids, coarse=None, *, block: int):
     """Reconstruct PQ rows (residual-aware when ``coarse`` is set) and
     re-quantize them into f8 scan-cache form. One dispatch; ``lax.map``
-    over row blocks. N % block == 0."""
+    over row blocks. N % block == 0.
+
+    The per-block scale rides 1-D through the map: a stacked
+    ``[nb, block, 1]`` f32 output keeps its lane-padded (128x) layout
+    through the reshape — measured ~4 GiB of device memory for what
+    should be a 42 MB [10.49M, 1] array; the trailing axis is re-added
+    AFTER the clean 1-D reshape (cheap)."""
     n = pqcodes.shape[0]
 
     def body(cb):
         rec = pq_reconstruct(cb, PQCodebook(centroids, None, coarse))
         codes, scale = quantize(rec, Quantization.F8)
         deq = dequantize(codes, scale)
-        return codes, scale, jnp.sum(deq * deq, axis=1)
+        return codes, scale.reshape(-1), jnp.sum(deq * deq, axis=1)
 
     if n == block:
-        return body(pqcodes)
-    outs = lax.map(body, pqcodes.reshape(n // block, block, -1))
-    return tuple(
-        o.reshape((n,) + o.shape[2:]) for o in outs
+        c8, s8, q8 = body(pqcodes)
+        return c8, s8[:, None], q8
+    c8, s8, q8 = lax.map(body, pqcodes.reshape(n // block, block, -1))
+    return (
+        c8.reshape(n, -1),
+        s8.reshape(n)[:, None],
+        q8.reshape(n),
     )
+
+
+@partial(jax.jit, static_argnames=("block", "slab"), donate_argnums=(0, 1, 2))
+def _fold_cache_slab(c8, s8, q8, pqcodes, centroids, coarse, off, *,
+                     slab: int, block: int):
+    """Fold one slab of rebuilt cache rows into the preallocated arrays
+    (donated, in-place). The slab is sliced INSIDE the jit — an eager
+    slice of the multi-GB uploaded code array risks a device relayout
+    copy (see FlatStore.load barrier note). See _rebuild_pq_cache."""
+    pq_slab = lax.dynamic_slice_in_dim(pqcodes, off, slab, axis=0)
+    cb, sb, qb = _pq_cache_rows(pq_slab, centroids, coarse, block=block)
+    return (
+        lax.dynamic_update_slice_in_dim(c8, cb, off, axis=0),
+        lax.dynamic_update_slice_in_dim(s8, sb, off, axis=0),
+        lax.dynamic_update_slice_in_dim(q8, qb, off, axis=0),
+    )
+
+
+@partial(jax.jit, static_argnames=("block",), donate_argnums=(0, 1, 2))
+def _fold_cache_direct(c8, s8, q8, pq_slab, centroids, coarse, off, *,
+                       block: int):
+    """_fold_cache_slab for a slab passed directly (host-codes mode: the
+    slab was just uploaded and there is no device code table to slice)."""
+    cb, sb, qb = _pq_cache_rows(pq_slab, centroids, coarse, block=block)
+    return (
+        lax.dynamic_update_slice_in_dim(c8, cb, off, axis=0),
+        lax.dynamic_update_slice_in_dim(s8, sb, off, axis=0),
+        lax.dynamic_update_slice_in_dim(q8, qb, off, axis=0),
+    )
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(buf, part, off):
+    """Donated slab write for _upload_rows."""
+    return lax.dynamic_update_slice_in_dim(buf, part, off, axis=0)
+
+
+def _upload_rows(host_arr, *, slab_rows: int = 1 << 20):
+    """Host -> device upload of a large row array, slab-wise through a
+    donated scatter into a jit-materialized buffer.
+
+    On the remote backend, computing a gather (jnp.take) against a
+    single-shot multi-GB ``jnp.asarray`` upload was measured to create —
+    and RETAIN for the process lifetime — a full relayouted copy (~4 GB
+    for 10M x 386 u8 codes: the PQ rerank's first run left zero free
+    HBM; an up-front identity-gather "canonicalization" retained memory
+    the same way). Slab uploads free normally, and the scatter target is
+    jit-produced (device-native layout), so serving gathers against the
+    result behave."""
+    n = host_arr.shape[0]
+    if n <= slab_rows:
+        return jnp.asarray(host_arr)
+    buf = jnp.zeros(host_arr.shape, host_arr.dtype)
+    for off in range(0, n, slab_rows):
+        part = jnp.asarray(np.ascontiguousarray(
+            host_arr[off:off + slab_rows]))
+        buf = _scatter_rows(buf, part, jnp.int32(off))
+        jax.block_until_ready(buf)  # bound enqueue overlap + free slabs
+    return buf
 
 
 def _cache_block_for(n: int, m: int = 96) -> int:
     b = _CACHE_BLOCK
-    while b > 4096 and b * m * 128 * 4 > _CACHE_TRANSIENT_BYTES:
+    while b > 1024 and b * m * 128 * 4 > _CACHE_TRANSIENT_BYTES:
         b //= 2
     return b if (n > b and n % b == 0) else n
 
@@ -241,6 +313,13 @@ class FlatStore:
         pq_centroids: int = 256,
         pq_train_iters: int = 15,
         pq_cache: bool = True,
+        pq_host_codes: bool = False,  # keep the authoritative PQ codes on
+        # the HOST during serving (pq_cache mode only): the device holds
+        # only the rebuildable f8 scan cache, and the rerank's shortlist
+        # code rows are gathered host-side and uploaded (bytes). The 10M
+        # x M=384 configuration REQUIRES this on a 16 GB chip: codes +
+        # cache don't co-reside with working transients (VERDICT r4 #2's
+        # "evict authoritative codes to host during serving").
         pq_opq_iters: int = 0,  # >0: OPQ rotation (ops/pq.py PQCodebook doc)
         pq_coarse: int = 0,     # >0: residual mode — whole-vector coarse
         # quantizer of that many centroids; codes carry a 2-byte cid
@@ -256,6 +335,7 @@ class FlatStore:
         self.is_pq = self.quantization == Quantization.PQ
         self.is_bq = self.quantization == Quantization.BQ
         self.pq_cache = bool(pq_cache) and self.is_pq
+        self.pq_host = bool(pq_host_codes) and self.pq_cache
         # BQ (the reserved Quantization_BQ both protos declare; ops/bq.py):
         # codes are packed sign bits [cap, ceil(D/32)] uint32 — 32x smaller
         # than f32. With bq_rerank (default) an f8 copy reranks the Hamming
@@ -349,17 +429,25 @@ class FlatStore:
         return self._row_width, self._qdtype
 
     def _pq_code_array(self):
-        """The authoritative [cap, M] uint8 PQ codes (PQ mode only)."""
+        """The authoritative [cap, M] uint8 PQ codes (PQ mode only).
+        numpy in host-codes mode, device array otherwise."""
+        if self.pq_host:
+            return self.pqcodes_host
         return self.pqcodes if self.pq_cache else self.codes
 
     def _alloc(self, cap: int) -> None:
         width, dtype = self._scan_shape
         self.codes = self._put(jnp.zeros((cap, width), dtype))
-        self.pqcodes = (
-            self._put(jnp.zeros((cap, self.pq_width), jnp.uint8))
-            if self.pq_cache
-            else None
-        )
+        if self.pq_host:
+            self.pqcodes = None
+            self.pqcodes_host = np.zeros((cap, self.pq_width), np.uint8)
+        else:
+            self.pqcodes = (
+                self._put(jnp.zeros((cap, self.pq_width), jnp.uint8))
+                if self.pq_cache
+                else None
+            )
+            self.pqcodes_host = None
         if self.bq_rerank:
             self.rr_codes = self._put(
                 jnp.zeros((cap, self.dim), storage_dtype(self.bq_rr_quant))
@@ -382,7 +470,12 @@ class FlatStore:
         self.codes = self._put(
             jnp.concatenate([self.codes, jnp.zeros((pad, width), dtype)])
         )
-        if self.pq_cache:
+        if self.pq_host:
+            self.pqcodes_host = np.concatenate(
+                [self.pqcodes_host,
+                 np.zeros((pad, self.pq_width), np.uint8)]
+            )
+        elif self.pq_cache:
             self.pqcodes = self._put(
                 jnp.concatenate(
                     [self.pqcodes, jnp.zeros((pad, self.pq_width), jnp.uint8)]
@@ -494,7 +587,10 @@ class FlatStore:
             v_pad = jnp.pad(vectors, pad)
             u_pq, u_lut_sqnorm = pq_encode(v_pad, self.codebook)
             if self.pq_cache:
-                self.pqcodes = self._put(u_pq)
+                if self.pq_host:
+                    self.pqcodes_host = np.asarray(jax.device_get(u_pq))
+                else:
+                    self.pqcodes = self._put(u_pq)
                 codes, scale, sqnorm = _pq_cache_rows(
                     u_pq, self.codebook.centroids, self.codebook.coarse,
                     block=_cache_block_for(cap, self.pq_m),
@@ -603,9 +699,16 @@ class FlatStore:
                         u_pq, self.codebook.centroids, self.codebook.coarse,
                         block=_cache_block_for(u_pq.shape[0], self.pq_m),
                     )
-                self.pqcodes = apply_pq(
-                    self.pqcodes, jnp.asarray(slots), u_pq
-                )
+                if self.pq_host:
+                    # authoritative codes live host-side: one fetch of the
+                    # freshly encoded batch, scattered into the host array
+                    self.pqcodes_host[slots] = np.asarray(
+                        jax.device_get(u_pq)
+                    )
+                else:
+                    self.pqcodes = apply_pq(
+                        self.pqcodes, jnp.asarray(slots), u_pq
+                    )
             else:
                 u_codes = u_pq
                 u_sqnorm = u_lut_sqnorm
@@ -636,9 +739,12 @@ class FlatStore:
 
     @property
     def memory_bytes(self) -> int:
+        """DEVICE bytes per the store (host-resident code tables excluded)."""
         per_row = (
             self._row_width * jnp.dtype(self._qdtype).itemsize + 4 + 4 + 1
         )
+        if self.pq_host:
+            per_row -= self._row_width  # codes live on the host
         if self.pq_cache:
             per_row += self.dim  # f8 scan cache
         if self.bq_rerank:
@@ -798,6 +904,12 @@ class FlatStore:
                 compute_dtype=self.compute_dtype,
             )
         elif self.pq_cache and self.codebook is not None and oversample > 1:
+            # big stores get a barrier between scan and rerank (below) but
+            # keep the AUTO scan blocks: on the remote backend, per-step
+            # state of a many-step lax.map was measured to linger — a
+            # 256-step capped scan left the follow-up rerank no memory,
+            # while the ~40-step auto-blocked scan + barrier + rerank fits
+            big = self.memory_bytes > (6 << 30)
             # f8-cache shortlist -> exact-reconstruction rerank (queries
             # were already rotated above; rotation=None here). The
             # shortlist honors the ``fused`` kernel request when the cache
@@ -824,11 +936,42 @@ class FlatStore:
                     compute_dtype=self.compute_dtype,
                     approx_recall=approx_recall,
                 )
-            negd, slots = pq_rerank_neg_topk(
-                jnp.asarray(queries), negd, slots, self.pqcodes,
-                self.codebook.centroids, k=min(k, self.capacity),
-                metric=metric, coarse=self.codebook.coarse,
-            )
+            if self.pq_host:
+                # host-resident codes: fetch the (raw) shortlist in one
+                # round trip, gather the code rows on the HOST, upload
+                # them (bytes) and rescore on device. The device never
+                # holds the multi-GB code table — serving state is the f8
+                # cache alone (the r5 10M x M=384 configuration; a device
+                # gather against an uploaded code table was measured to
+                # retain a full relayout copy for the process lifetime)
+                from coltt_tpu.ops.pq import pq_rescore_rows
+
+                nh, ih = fetch_scores_ids(negd, slots)
+                crow = self.pqcodes_host[
+                    np.where(ih >= 0, ih, 0).reshape(-1)
+                ]
+                negd, slots = pq_rescore_rows(
+                    jnp.asarray(queries), jnp.asarray(nh), jnp.asarray(ih),
+                    jnp.asarray(crow), self.codebook.centroids,
+                    k=min(k, self.capacity), metric=metric,
+                    coarse=self.codebook.coarse,
+                )
+            else:
+                if big:
+                    # big-store mode: a barrier between the shortlist scan
+                    # and the rerank — with both executables in flight
+                    # their enqueue-time allocations overlap, and next to
+                    # a ~12 GiB resident store that overlap OOMs
+                    # (measured: each stage alone fits; enqueued together
+                    # they don't)
+                    jax.block_until_ready(negd)
+                negd, slots = pq_rerank_neg_topk(
+                    jnp.asarray(queries), negd, slots, self.pqcodes,
+                    self.codebook.centroids, k=min(k, self.capacity),
+                    metric=metric, coarse=self.codebook.coarse,
+                )
+                if big:
+                    jax.block_until_ready(negd)  # see scan barrier note
             scores = jnp.where(
                 jnp.isinf(negd), -jnp.inf, normalize_score(-negd, metric)
             )
@@ -861,10 +1004,36 @@ class FlatStore:
                     jq, self.codes, self.scale, self.sqnorm, valid,
                     k=min(k, self.capacity), metric=metric,
                     compute_dtype=self.compute_dtype,
+                    block_rows=self._serving_block_rows(
+                        np.atleast_2d(queries).shape[0]
+                    ),
                     approx_recall=approx_recall,
                 )
         s_host, i_host = fetch_scores_ids(scores, slots)
         return self._trim(s_host, i_host, k)
+
+    def _serving_block_rows(self, q: int):
+        """Row-block override for big stores (None = op default).
+
+        The op-level auto block budget assumes a mostly-empty device; a
+        10M x 768d PQ store holds ~12.2 GiB resident out of ~15.5 usable,
+        and serving overlaps several in-flight scans (each with its own
+        executable temp arena — measured: two barrier-free ops whose
+        arenas each fit alone OOM'd together). Cap the per-block transient
+        (scores + double-buffered dequant) at ~128 MB so a depth-8 search
+        pipeline stays within ~1 GB of arenas."""
+        if self.memory_bytes < (6 << 30):
+            return None
+        per_row = (
+            q * 4 + 2 * self.dim * jnp.dtype(self.compute_dtype).itemsize
+        )
+        target = max(_CAPACITY_QUANTUM,
+                     ((128 << 20) // per_row)
+                     // _CAPACITY_QUANTUM * _CAPACITY_QUANTUM)
+        b = min(target, self.capacity)
+        while self.capacity % b:
+            b -= _CAPACITY_QUANTUM  # terminates: capacity % QUANTUM == 0
+        return b
 
     def _search_sharded(self, queries, valid, k, metric, *,
                         approx_recall=None, fused=False, oversample=1):
@@ -917,7 +1086,11 @@ class FlatStore:
             )
         else:
             pq_rr = None
-            if self.pq_cache and self.codebook is not None and oversample > 1:
+            if (self.pq_cache and self.codebook is not None
+                    and oversample > 1 and not self.pq_host):
+                # host-resident codes can't ride the shard-local rerank
+                # (no device code table); sharded + pq_host serves the
+                # f8-cache ranking directly
                 pq_rr = (self.pqcodes, self.codebook.centroids,
                          self.codebook.coarse)
             scores, slots = sharded_scan_topk(
@@ -1091,6 +1264,8 @@ class FlatStore:
         sharding: Optional[jax.sharding.Sharding] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
         pq_cache: Optional[bool] = None,
+        pq_host_codes: Optional[bool] = None,  # None = auto: host-resident
+        # codes for PQ-cache collections whose code table exceeds 2 GB
     ) -> "FlatStore":
         magic = f.read(len(_SNAPSHOT_MAGIC))
         if magic != _SNAPSHOT_MAGIC:
@@ -1101,11 +1276,22 @@ class FlatStore:
         bq = header.get("bq")
         if pq_cache is None:
             pq_cache = pq.get("cache", True) if pq else True
+        if pq_host_codes is None:
+            pq_host_codes = bool(
+                pq and pq_cache
+                and header["capacity"] * (pq["m"] + (2 if pq.get("coarse")
+                                                    else 0)) > (2 << 30)
+            )
         store = cls(
             header["dim"],
             metric=Metric.parse(header["metric"]),
             quantization=Quantization.parse(header["quantization"]),
-            base_capacity=header["capacity"],
+            # minimum-capacity construction: a full-capacity _alloc would
+            # put ~11 GB of zeros on device at 10M rows only to be
+            # replaced by the loaded arrays below — a transient that OOMs
+            # next to them. Every row array is reassigned before use;
+            # capacity is fixed up right after.
+            base_capacity=_CAPACITY_QUANTUM,
             sharding=sharding,
             mesh=mesh,
             pq_subspaces=pq["m"] if pq else None,
@@ -1114,6 +1300,7 @@ class FlatStore:
             pq_opq_iters=pq.get("opq_iters", 0) if pq else 0,
             pq_coarse=pq.get("coarse", 0) if pq else 0,
             pq_cache=pq_cache,
+            pq_host_codes=pq_host_codes,
             bq_rerank=bq.get("rerank", True) if bq else True,
             bq_oversample=bq.get("oversample", 64) if bq else 64,
             bq_rerank_dtype=Quantization.parse(
@@ -1123,6 +1310,7 @@ class FlatStore:
         if pq and pq["codebook"]:
             store.codebook = PQCodebook.load(io.BytesIO(pq["codebook"]))
         cap = header["capacity"]
+        store.capacity = cap
         width = store._row_width
         qdt = np.dtype(store._qdtype)
         codes = np.frombuffer(f.read(cap * width * qdt.itemsize), qdt).reshape(
@@ -1132,9 +1320,22 @@ class FlatStore:
         sqnorm = np.frombuffer(f.read(cap * 4), np.float32)
         valid = np.frombuffer(f.read(cap), np.bool_)
         store.valid = store._put(jnp.asarray(valid))
-        if store.pq_cache:
-            store.pqcodes = store._put(jnp.asarray(codes))
+        if store.pq_host:
+            # host-resident codes (the 10M x M=384 configuration): the
+            # code table never goes to the device — writable host copy
+            # (frombuffer views are read-only) + slab-wise cache rebuild
+            store.pqcodes_host = np.array(codes)
             store._rebuild_pq_cache()
+            jax.block_until_ready(store.codes)
+        elif store.pq_cache:
+            # slab-wise upload (see _upload_rows: serving gathers against
+            # a single-shot multi-GB upload retain a relayout copy), then
+            # a barrier before the rebuild so the enqueue-time buffer
+            # spike of upload+rebuild never overlaps
+            store.pqcodes = store._put(_upload_rows(codes))
+            jax.block_until_ready(store.pqcodes)
+            store._rebuild_pq_cache()
+            jax.block_until_ready(store.codes)
         elif store.is_pq:
             store.codes = store._put(jnp.asarray(codes))
             store.scale = store._put(jnp.ones((cap, 1), jnp.float32))
@@ -1160,15 +1361,132 @@ class FlatStore:
         store.slot_to_pk = {slot: pk for pk, slot in header["pks"]}
         return store
 
+    @classmethod
+    def adopt_pq(
+        cls,
+        codebook: PQCodebook,
+        pqcodes,
+        *,
+        pks=None,
+        metric: Metric = Metric.COSINE,
+        cache=None,      # optional prebuilt (codes f8, scale, sqnorm)
+        pq_cache: bool = True,
+        pq_host_codes: bool = False,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> "FlatStore":
+        """Adopt pre-encoded PQ codes as a live store — the streaming
+        bulk-ingest path for corpora whose f32 form exceeds HBM (a 10M x
+        768d corpus is 30 GB f32 vs 3.9 GB M=384 codes; callers encode
+        slab-wise with ops.pq.pq_encode and hand the code rows here; cf.
+        DistributedFlatIndex.from_bq_codes). ``cache`` passes an
+        already-built f8 scan cache to avoid rebuilding it; otherwise the
+        cache is rebuilt from the codes (blocked, transient-bounded).
+        ``pqcodes.shape[0]`` must be a multiple of the 8192-row capacity
+        quantum; ``pks`` defaults to stringified row indices.
+        ``pq_host_codes=True`` keeps the code table on the host (pqcodes
+        should then be a numpy array; see the constructor note)."""
+        if not pq_host_codes:
+            pqcodes = jnp.asarray(pqcodes)
+        n, cw = pqcodes.shape
+        if n % _CAPACITY_QUANTUM:
+            raise ValueError(
+                f"adopt_pq needs rows % {_CAPACITY_QUANTUM} == 0, got {n}"
+            )
+        coarse_c = (
+            int(codebook.coarse.shape[0]) if codebook.coarse is not None else 0
+        )
+        m = cw - (2 if coarse_c else 0)
+        if m != codebook.m:
+            raise ValueError(
+                f"code width {cw} does not match codebook "
+                f"(m={codebook.m}, coarse={coarse_c})"
+            )
+        dim = codebook.m * codebook.dsub
+        # construct at the minimum capacity (a full-capacity constructor
+        # would _alloc ~11 GB of zeros at 10M rows just to be replaced —
+        # a transient that alone OOMs next to the adopted arrays), then
+        # adopt the real arrays and fix up capacity
+        store = cls(
+            dim,
+            metric=metric,
+            quantization=Quantization.PQ,
+            base_capacity=_CAPACITY_QUANTUM,
+            pq_subspaces=m,
+            pq_centroids=codebook.n_centroids,
+            pq_coarse=coarse_c,
+            pq_cache=pq_cache,
+            pq_host_codes=pq_host_codes,
+            mesh=mesh,
+        )
+        store.capacity = n
+        store.codebook = codebook
+        if store.pq_cache:
+            if store.pq_host:
+                store.pqcodes_host = np.ascontiguousarray(
+                    np.asarray(pqcodes, np.uint8)
+                )
+            else:
+                store.pqcodes = store._put(pqcodes)
+            if cache is not None:
+                c8, s8, q8 = cache
+                store.codes = store._put(c8)
+                store.scale = store._put(s8)
+                store.sqnorm = store._put(q8)
+            else:
+                store._rebuild_pq_cache()
+        else:
+            store.codes = store._put(pqcodes)
+            store.scale = store._put(jnp.ones((n, 1), jnp.float32))
+            store.sqnorm = store._put(pq_sqnorm(pqcodes, codebook))
+        store.valid = store._put(jnp.ones(n, bool))
+        if pks is None:
+            pks = [str(i) for i in range(n)]
+        store.pk_to_slot = {pk: i for i, pk in enumerate(pks)}
+        store.slot_to_pk = {i: pk for i, pk in enumerate(pks)}
+        store._next_slot = n
+        return store
+
+    _REBUILD_SLAB = 1 << 20  # rows folded per donated scatter step
+
     def _rebuild_pq_cache(self) -> None:
         """Decompress the authoritative PQ codes into the f8 scan cache
-        (one-time per load; ~1 us/row of codebook gather on v5e)."""
+        (one-time per load; ~1 us/row of codebook gather on v5e).
+
+        Host-driven slab loop + donated scatters, NOT one giant
+        lax.map dispatch: on the remote-attached backend a single
+        10M-row map executable's buffers were measured to stay resident
+        for the life of the process (even after deleting every reference
+        and clearing jit caches), pinning ~12 GiB; the donation pattern
+        (the same shape the 10M ingest benches use) updates the
+        preallocated arrays in place with a bounded per-slab transient."""
         if self.codebook is None:
             return
-        codes, scale, sqnorm = _pq_cache_rows(
-            self.pqcodes, self.codebook.centroids, self.codebook.coarse,
-            block=_cache_block_for(self.capacity, self.pq_m),
-        )
-        self.codes = self._put(codes)
-        self.scale = self._put(scale)
-        self.sqnorm = self._put(sqnorm)
+        cap = self.capacity
+        slab = min(cap, self._REBUILD_SLAB)
+        while cap % slab:
+            slab -= _CAPACITY_QUANTUM  # terminates: cap % QUANTUM == 0
+        c8 = self._put(jnp.zeros((cap, self.dim), jnp.float8_e4m3fn))
+        s8 = self._put(jnp.zeros((cap, 1), jnp.float32))
+        q8 = self._put(jnp.zeros((cap,), jnp.float32))
+        block = _cache_block_for(slab, self.pq_m)
+        for off in range(0, cap, slab):
+            if self.pq_host:
+                # host-resident codes: upload one slab transiently
+                part = jnp.asarray(self.pqcodes_host[off:off + slab])
+                c8, s8, q8 = _fold_cache_direct(
+                    c8, s8, q8, part,
+                    self.codebook.centroids, self.codebook.coarse,
+                    jnp.int32(off), block=block,
+                )
+            else:
+                c8, s8, q8 = _fold_cache_slab(
+                    c8, s8, q8, self.pqcodes,
+                    self.codebook.centroids, self.codebook.coarse,
+                    jnp.int32(off), slab=slab, block=block,
+                )
+            # bound enqueue-time buffer overlap (the same hazard the
+            # snapshot-load barrier documents)
+            jax.block_until_ready(c8)
+        self.codes = c8
+        self.scale = s8
+        self.sqnorm = q8

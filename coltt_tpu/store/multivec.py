@@ -98,6 +98,7 @@ class MultiVectorStore:
         quantization: Quantization = Quantization.NONE,
         base_capacity: int = 8192,
         sharding: Optional[jax.sharding.Sharding] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
         if not fields:
             raise ValueError("multi-vector store needs at least one vector field")
@@ -108,6 +109,14 @@ class MultiVectorStore:
         self.compute_dtype = (
             jnp.float32 if self.quantization == Quantization.NONE else jnp.bfloat16
         )
+        # mesh > 1 device: per-field rows live sharded P(shard) and CFLAT
+        # scans route through sharded_cflat_topk (parallel/dist_search.py)
+        # — the experimental engine's multi-device serving (VERDICT r4 #1;
+        # reference analog: multi_vector_vertex.go:108-136 goroutines)
+        self.mesh = mesh
+        if sharding is None and mesh is not None and mesh.size > 1:
+            from coltt_tpu.parallel.mesh import shard_spec
+            sharding = shard_spec(mesh)
         self.sharding = sharding
 
         self.capacity = _round_capacity(base_capacity)
@@ -264,13 +273,42 @@ class MultiVectorStore:
             (self.codes[n], self.scale[n], self.sqnorm[n]) for n in names
         )
         kk = min(max(1, int(k)), self.capacity)
-        vals, idx = _cflat_topk(
-            field_state, tuple(queries), tuple(ratios), self.valid,
-            k=kk, metric=self.metric, compute_dtype=self.compute_dtype,
-        )
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        if self.mesh is not None and self.mesh.size > 1:
+            vals, idx = self._sharded_cflat(
+                field_state, tuple(q[None, :] for q in queries),
+                tuple(ratios), kk,
+            )
+            vals, idx = vals[0], idx[0]
+        else:
+            vals, idx = _cflat_topk(
+                field_state, tuple(queries), tuple(ratios), self.valid,
+                k=kk, metric=self.metric, compute_dtype=self.compute_dtype,
+            )
+            vals, idx = np.asarray(vals), np.asarray(idx)
         idx = np.where(np.isneginf(vals), -1, idx)
         return vals, idx
+
+    def _sharded_cflat(self, field_state, queries, ratios, kk):
+        """Shard-local weighted scans + collective merge (the mesh path)."""
+        from coltt_tpu.parallel.dist_search import sharded_cflat_topk
+        from coltt_tpu.parallel.mesh import BATCH_AXIS, batch_spec
+
+        batch = self.mesh.shape.get(BATCH_AXIS, 1)
+        q = queries[0].shape[0]
+        pad = (-q) % batch
+        jqs = []
+        for blk in queries:
+            jb = jnp.asarray(blk, jnp.float32)
+            if pad:
+                jb = jnp.concatenate(
+                    [jb, jnp.zeros((pad, jb.shape[1]), jnp.float32)]
+                )
+            jqs.append(jax.device_put(jb, batch_spec(self.mesh)))
+        vals, idx = sharded_cflat_topk(
+            self.mesh, field_state, self.valid, tuple(jqs), ratios,
+            k=kk, metric=self.metric, compute_dtype=self.compute_dtype,
+        )
+        return np.asarray(vals)[:q], np.asarray(idx)[:q]
 
     @_locked
     def search_batch(
@@ -309,11 +347,16 @@ class MultiVectorStore:
             (self.codes[n], self.scale[n], self.sqnorm[n]) for n in names
         )
         kk = min(max(1, int(k)), self.capacity)
-        vals, idx = _cflat_topk_batch(
-            field_state, tuple(queries), tuple(ratios), self.valid,
-            k=kk, metric=self.metric, compute_dtype=self.compute_dtype,
-        )
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        if self.mesh is not None and self.mesh.size > 1:
+            vals, idx = self._sharded_cflat(
+                field_state, tuple(queries), tuple(ratios), kk,
+            )
+        else:
+            vals, idx = _cflat_topk_batch(
+                field_state, tuple(queries), tuple(ratios), self.valid,
+                k=kk, metric=self.metric, compute_dtype=self.compute_dtype,
+            )
+            vals, idx = np.asarray(vals), np.asarray(idx)
         idx = np.where(np.isneginf(vals), -1, idx)
         return vals, idx
 
@@ -342,7 +385,9 @@ class MultiVectorStore:
 
     @classmethod
     def load(
-        cls, f: io.BufferedIOBase, *, sharding: Optional[jax.sharding.Sharding] = None
+        cls, f: io.BufferedIOBase, *,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ) -> "MultiVectorStore":
         magic = f.read(len(_SNAPSHOT_MAGIC))
         if magic != _SNAPSHOT_MAGIC:
@@ -355,6 +400,7 @@ class MultiVectorStore:
             quantization=Quantization.parse(header["quantization"]),
             base_capacity=header["capacity"],
             sharding=sharding,
+            mesh=mesh,
         )
         cap = header["capacity"]
         qdt = np.dtype(store._qdtype)

@@ -88,6 +88,81 @@ def main() -> None:
         top = ((2.0 - (1.0 - sim[r, ref_ids[r, 0]])) / 2.0) * 100.0
         assert abs(scores[r, 0] - top) < 0.15, (scores[r, 0], top)
 
+    # -- PQ leg (VERDICT r4 #7): train an identical codebook on each
+    # process (same data + same deterministic ops), encode ONLY the local
+    # rows, assemble across the process boundary, sharded ADC scan.
+    import jax.numpy as jnp
+
+    from coltt_tpu.ops.pq import pq_encode, pq_scan_neg_topk, train_pq
+    from coltt_tpu.parallel.dist_search import (
+        sharded_cflat_topk, sharded_pq_topk,
+    )
+
+    cb = train_pq(jnp.asarray(vecs), m=8, n_centroids=32, iters=4,
+                  sample_size=n)
+    local_codes, local_sqn = pq_encode(jnp.asarray(vecs[start:end]), cb)
+    pq_codes = assemble_global_rows(mesh, np.asarray(local_codes), n)
+    pq_sqn = assemble_global_rows(mesh, np.asarray(local_sqn), n)
+    ps, pi = sharded_pq_topk(
+        mesh, pq_codes, cb.centroids, pq_sqn, valid,
+        jax.device_put(queries), k=k, metric=Metric.COSINE,
+        rotation=cb.rotation, coarse=cb.coarse,
+    )
+    ps = np.asarray(jax.device_get(ps))
+    # reference: the same ADC scan unsharded on this process (full corpus)
+    full_codes, full_sqn = pq_encode(jnp.asarray(vecs), cb)
+    rneg, _ = pq_scan_neg_topk(
+        jnp.asarray(queries), full_codes, cb.centroids, full_sqn,
+        jnp.ones(n, bool), k=k, metric=Metric.COSINE,
+        rotation=cb.rotation, coarse=cb.coarse,
+    )
+    from coltt_tpu.ops.score import normalize_score
+    ref_scores = np.asarray(jax.device_get(
+        normalize_score(-rneg, Metric.COSINE)))
+    # same score profile per row (ids may tie-swap across shards)
+    np.testing.assert_allclose(np.sort(ps, axis=1),
+                               np.sort(ref_scores, axis=1), atol=1e-3)
+
+    # -- CFLAT leg: two named vector fields, weighted-sum scoring across
+    # the process boundary.
+    d2 = d // 2
+    vecs2 = rng.standard_normal((n, d2)).astype(np.float32)  # same on both
+    q2 = rng.standard_normal((q, d2)).astype(np.float32)
+    f1 = (
+        assemble_global_rows(mesh, vecs[start:end], n),
+        None,
+        sqnorm,
+    )
+    f2 = (
+        assemble_global_rows(mesh, vecs2[start:end], n),
+        None,
+        assemble_global_rows(mesh, np.sum(vecs2[start:end] ** 2, axis=1), n),
+    )
+    cs, ci = sharded_cflat_topk(
+        mesh, (f1, f2), valid,
+        (jax.device_put(queries), jax.device_put(q2)),
+        (jnp.float32(0.7), jnp.float32(0.3)), k=k, metric=Metric.COSINE,
+        compute_dtype=jnp.float32,
+    )
+    cs = np.asarray(jax.device_get(cs))
+    ci = np.asarray(jax.device_get(ci))
+    # host reference for the weighted sum (f64 — near-tie candidates at
+    # the top-k boundary may legitimately swap vs the device's f32 sum,
+    # so compare score profiles and require strong id overlap, not set
+    # equality)
+    q2n = q2 / np.linalg.norm(q2, axis=1, keepdims=True)
+    v2n = vecs2 / np.linalg.norm(vecs2, axis=1, keepdims=True)
+    sim2 = q2n @ v2n.T
+    total = (((2.0 - (1.0 - sim)) / 2.0) * 100.0 * 0.7
+             + ((2.0 - (1.0 - sim2)) / 2.0) * 100.0 * 0.3)
+    ref_c = np.argsort(-total, axis=1)[:, :k]
+    ref_top = np.sort(total, axis=1)[:, ::-1][:, :k]
+    np.testing.assert_allclose(cs, ref_top, atol=0.02)
+    for r in range(q):
+        overlap = len(set(ci[r].tolist()) & set(ref_c[r].tolist()))
+        assert overlap >= k - 1, (r, overlap)
+        assert ci[r, 0] == ref_c[r, 0], r
+
     print(f"OK-{proc_id}", flush=True)
 
 

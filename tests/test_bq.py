@@ -254,3 +254,41 @@ def test_mxu_hamming_path_matches_popcount():
             for i, v in zip(np.asarray(ids_m)[r], np.asarray(neg_m)[r]):
                 if np.isfinite(v):
                     assert valid[i]
+
+
+def test_mxu_capped_block_keep_preserves_shortlist():
+    """Deep-oversample fix (r5): in approx mode the MXU multi-block path
+    keeps only max(64, 8*kk/blocks) rows per block instead of kk — the
+    kk-wide per-block selection + blocks*kk-wide final sort dominated the
+    10M scan at oversample 64. With winners spread across blocks (any
+    non-adversarial layout) the merged top-kk must equal the exact one;
+    exact=True keeps the uncapped width."""
+    import coltt_tpu.ops.bq as bq_mod
+    from coltt_tpu.ops.bq import bq_encode, bq_scan_neg_topk
+
+    rng = np.random.default_rng(23)
+    n, dim, q, kk = 131072, 128, 4, 640
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((q, dim)).astype(np.float32)
+    codes = bq_encode(jnp.asarray(vecs))
+    qp = bq_encode(jnp.asarray(queries))
+
+    old = bq_mod._BQ_TRANSIENT_BYTES
+    try:
+        bq_mod._BQ_TRANSIENT_BYTES = 3 << 20  # force ~16 blocks (MXU path)
+        bq_scan_neg_topk.clear_cache()
+        neg_c, ids_c = map(np.asarray,
+                           bq_scan_neg_topk(qp, codes, None, k=kk))
+        neg_e, ids_e = map(np.asarray,
+                           bq_scan_neg_topk(qp, codes, None, k=kk,
+                                            exact=True))
+    finally:
+        bq_mod._BQ_TRANSIENT_BYTES = old
+        bq_scan_neg_topk.clear_cache()
+    # the capped run must produce the exact Hamming value profile
+    np.testing.assert_array_equal(neg_c, neg_e)
+    # and the same winners modulo equal-Hamming ties
+    for r in range(q):
+        assert sorted(neg_c[r]) == sorted(neg_e[r])
+        strict = neg_e[r] > neg_e[r].min()  # above the tie plateau
+        assert set(ids_e[r][strict]) <= set(ids_c[r])

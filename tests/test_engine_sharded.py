@@ -158,6 +158,45 @@ def test_edge_engine_sharded_pq(tmp_path, rng):
     assert overlap >= 0.9, overlap
 
 
+def test_experimental_engine_sharded_cflat(tmp_path, rng):
+    """CFLAT multi-vector serving over a mesh: the experimental engine's
+    MultiVectorStore shards per-field rows and scans through
+    sharded_cflat_topk; results match the single-device engine (f32
+    compute, exact scans)."""
+    from coltt_tpu.engine.experimental import ExperimentalEngine
+    from coltt_tpu.index.schema import (
+        CollectionSchema, FieldSchema, FieldType,
+    )
+
+    dim, n = 16, 512
+    schema = lambda: CollectionSchema(
+        name="mv", dim=dim,
+        fields=[FieldSchema("a_vec", FieldType.VECTOR),
+                FieldSchema("b_vec", FieldType.VECTOR)],
+    )
+    a = rng.standard_normal((n, dim)).astype(np.float32)
+    b = rng.standard_normal((n, dim)).astype(np.float32)
+    mesh = make_mesh(8)
+    e1 = ExperimentalEngine(LocalObjectStore(str(tmp_path / "s1")))
+    e8 = ExperimentalEngine(LocalObjectStore(str(tmp_path / "s8")),
+                            mesh=mesh)
+    for e in (e1, e8):
+        e.create_collection(schema())
+        for i in range(n):
+            e.index("mv", f"r{i}",
+                    vectors={"a_vec": a[i], "b_vec": b[i]})
+    q = [("a_vec", a[37], True, 60.0), ("b_vec", b[37], True, 40.0)]
+    h1 = e1.vector_search("mv", q, top_k=5)
+    h8 = e8.vector_search("mv", q, top_k=5)
+    assert [h.id for h in h8] == [h.id for h in h1]
+    assert h8[0].id == "r37"
+    np.testing.assert_allclose([h.score for h in h8],
+                               [h.score for h in h1], atol=1e-3)
+    store = e8._collections["mv"].store
+    assert store.mesh is mesh
+    assert len(store.codes["a_vec"].sharding.device_set) == 8
+
+
 def test_edge_engine_sharded_flush_load_roundtrip(tmp_path, corpus):
     """release -> load keeps the mesh: the rehydrated store is sharded and
     serves the same results."""

@@ -348,3 +348,80 @@ def test_concurrent_upsert_search_stress():
     assert store.slot_to_pk[int(slots[0, 0])] == "p599"
     # p246 was upserted at i=246 and deleted at i=396 (396 % 11 == 0)
     assert store.pk_to_slot.get("p246") is None
+
+
+def test_adopt_pq_matches_bulk_build(rng):
+    """adopt_pq (the streaming bulk path for pre-encoded corpora) must
+    serve identically to a store that trained/encoded the same data via
+    bulk_build with the same codebook, and survive a save/load roundtrip
+    with the cache rebuilt."""
+    from coltt_tpu.ops.pq import pq_encode, train_pq
+
+    n, dim = 8192, 64
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    qs = rng.standard_normal((4, dim)).astype(np.float32)
+
+    ref = FlatStore(dim, quantization=Quantization.PQ, pq_coarse=64,
+                    pq_train_iters=5)
+    ref.bulk_build([str(i) for i in range(n)], vecs)
+    s_ref, i_ref = ref.search(qs, 10, oversample=4)
+
+    codes, _ = pq_encode(vecs, ref.codebook)
+    adopted = FlatStore.adopt_pq(ref.codebook, codes)
+    assert len(adopted) == n and adopted.capacity == n
+    s_ad, i_ad = adopted.search(qs, 10, oversample=4)
+    np.testing.assert_array_equal(i_ref, i_ad)
+    np.testing.assert_allclose(s_ref, s_ad, rtol=1e-5)
+
+    buf = io.BytesIO()
+    adopted.save(buf)
+    buf.seek(0)
+    loaded = FlatStore.load(buf)
+    assert loaded.capacity == n
+    s_ld, i_ld = loaded.search(qs, 10, oversample=4)
+    np.testing.assert_array_equal(i_ad, i_ld)
+    np.testing.assert_allclose(s_ad, s_ld, rtol=1e-5)
+    # mutation still works on the adopted/loaded store
+    loaded.upsert("probe", np.full(dim, 0.5, np.float32))
+    s, i = loaded.search(np.full(dim, 0.5, np.float32), 1)
+    assert loaded.slot_to_pk[int(i[0, 0])] == "probe"
+
+
+def test_pq_host_codes_mode_matches_device(rng):
+    """pq_host_codes=True (authoritative codes on host, rerank gathers
+    shortlist rows host-side) must serve the same results as the
+    device-codes store, survive mutation, and round-trip through
+    save/load with the auto host-mode threshold overridden."""
+    from coltt_tpu.ops.pq import pq_encode, train_pq
+
+    n, dim = 8192, 64
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    qs = rng.standard_normal((4, dim)).astype(np.float32)
+
+    dev = FlatStore(dim, quantization=Quantization.PQ, pq_coarse=64,
+                    pq_train_iters=5)
+    dev.bulk_build([str(i) for i in range(n)], vecs)
+    s_dev, i_dev = dev.search(qs, 10, oversample=4)
+
+    codes = np.asarray(pq_encode(vecs, dev.codebook)[0])
+    host = FlatStore.adopt_pq(dev.codebook, codes, pq_host_codes=True)
+    assert host.pq_host and host.pqcodes is None
+    assert host.memory_bytes < dev.memory_bytes  # codes off the device
+    s_h, i_h = host.search(qs, 10, oversample=4)
+    np.testing.assert_array_equal(i_dev, i_h)
+    np.testing.assert_allclose(s_dev, s_h, rtol=1e-5)
+
+    # mutation keeps host codes in sync
+    host.upsert("probe", np.full(dim, 0.5, np.float32))
+    s, i = host.search(np.full(dim, 0.5, np.float32), 1)
+    assert host.slot_to_pk[int(i[0, 0])] == "probe"
+
+    # roundtrip, forcing host mode on load despite the small size
+    buf = io.BytesIO()
+    host.save(buf)
+    buf.seek(0)
+    loaded = FlatStore.load(buf, pq_host_codes=True)
+    assert loaded.pq_host
+    s_ld, i_ld = loaded.search(qs, 10, oversample=4)
+    s_h2, i_h2 = host.search(qs, 10, oversample=4)
+    np.testing.assert_array_equal(i_h2, i_ld)
